@@ -1,0 +1,17 @@
+"""Test config: force CPU with 8 virtual devices so multi-chip sharding tests
+run anywhere (the TPU analog of a fake backend; see SURVEY.md section 4)."""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+# The ambient environment pins JAX at the real TPU (JAX_PLATFORMS=axon) and
+# the axon plugin overrides the env var, so force CPU through the config API.
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402  (import after env setup)
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)
