@@ -1,0 +1,334 @@
+"""Paint engines: GAN-backed stroke renderers with user color control.
+
+API-compatible rebuild of the reference engines
+(reference: forger/ui/brush.py:410-1096 -- GanBrushOptions, PaintEngine,
+PaintEngineFactory, TriadGanPaintEngine, CanvasPaintEngine, MockPaintEngine).
+The numeric path lives in the single jitted :mod:`render` core; these classes
+are thin host-side wrappers handling uint8 <-> device conversion, brush
+state, and checkpoint loading.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from brushstroke_engine_tpu.engine.render import render_core
+from brushstroke_engine_tpu.models.generator import GeneratorConfig
+from brushstroke_engine_tpu.models.geo_encoder import GeoEncoderConfig
+
+logger = logging.getLogger(__name__)
+
+
+def _prep_color(x):
+    """uint8 [0..255] or float [0..1], [3] or [B,3] -> float32 [B,3]."""
+    if x is None:
+        return None
+    c = np.asarray(x)
+    if c.dtype == np.uint8:
+        c = c.astype(np.float32) / 255.0
+    else:
+        c = c.astype(np.float32)
+    if c.ndim == 1:
+        c = c[None]
+    return c
+
+
+class GanBrushOptions:
+    """Brush state: style (z or W + noise buffers), user colors, position,
+    opacity, debug flags (reference brush.py:410-527)."""
+
+    def __init__(self, primary_color=None, secondary_color=None, debug=False):
+        self.color0 = _prep_color(primary_color)
+        self.color1 = _prep_color(secondary_color)
+        self.canvas_color = None
+        self.style_z = None
+        self.style_id = None
+        self.library_id = ""
+        self.style_ws = None
+        self.opacity = 1.0
+        self.debug = debug
+        self.position = None          # [B, 2] int64 (y, x)
+        self.custom_args: Dict = {}
+        self.enable_uvs_mapping = False
+
+    def set_position(self, x, y):
+        if np.isscalar(x):
+            self.position = np.asarray([[y, x]], np.int64)
+        else:
+            self.position = np.stack([np.asarray(y), np.asarray(x)],
+                                     axis=1).astype(np.int64)
+
+    def get_position(self):
+        return self.position
+
+    def set_color(self, color_idx: int, in_color):
+        if color_idx == 0:
+            self.color0 = _prep_color(in_color)
+        elif color_idx == 1:
+            self.color1 = _prep_color(in_color)
+        elif color_idx == 2:
+            self.canvas_color = _prep_color(in_color)
+        else:
+            logger.error(f"Wrong color idx {color_idx}")
+
+    def set_style(self, style_z, style_id=None):
+        self.style_z = None if style_z is None else np.asarray(style_z)
+        self.style_id = style_id
+        self.style_ws = None
+
+    def set_style_w(self, style_w, style_id=None, custom_args=None):
+        self.style_ws = None if style_w is None else np.asarray(style_w)
+        self.style_id = style_id
+        self.style_z = None
+        self.custom_args = dict(custom_args) if custom_args else {}
+
+    def prepare_style(self, batch_size: int):
+        def prep(x):
+            if x is None:
+                return None
+            if x.shape[0] != batch_size:
+                assert x.shape[0] == 1, \
+                    "style batch must match or be broadcastable from 1"
+                reps = (batch_size,) + (1,) * (x.ndim - 1)
+                return np.tile(x, reps)
+            return x
+        self.style_z = prep(self.style_z)
+        self.style_ws = prep(self.style_ws)
+
+    def color_override(self, batch_size: int):
+        """Returns (override [B,3,3], mask [1,1,3]) or (None, None)."""
+        if self.color0 is None and self.color1 is None \
+                and self.canvas_color is None:
+            return None, None
+        override = np.zeros((batch_size, 3, 3), np.float32)
+        mask = np.zeros((1, 1, 3), np.float32)
+        for idx, col in enumerate([self.color0, self.color1,
+                                   self.canvas_color]):
+            if col is not None:
+                override[:, :, idx] = col
+                mask[0, 0, idx] = 1.0
+        return override, mask
+
+    def prepare_colors(self, default_colors):
+        """[B,3,3] defaults -> colors with user overrides applied (host)."""
+        out = np.array(default_colors, np.float32)
+        override, mask = self.color_override(out.shape[0])
+        if override is None:
+            return out
+        return mask * override + (1 - mask) * out
+
+
+class PaintEngine:
+    """Base interface (reference brush.py:530-548)."""
+
+    def __init__(self):
+        self.patch_width = 0
+
+    def render_stroke(self, stroke_patch, canvas_patch, opts,
+                      **generator_kwargs):
+        raise NotImplementedError
+
+    def random_style(self, seed):
+        return None
+
+    def summary(self):
+        raise NotImplementedError
+
+
+class GanPaintEngine(PaintEngine):
+    """GAN-backed engine core shared by triad/canvas variants.
+
+    Holds the generator + frozen geometry encoder parameter trees and calls
+    the jitted render core.
+    """
+
+    color_format = "triad"
+
+    def __init__(self, gen_cfg: GeneratorConfig, gen_params, gen_state,
+                 enc_cfg: GeoEncoderConfig, enc_params, enc_state,
+                 geom_inject_resolutions=(0,),
+                 gan_checkpoint: str = "", encoder_checkpoint: str = ""):
+        super().__init__()
+        self.gen_cfg = gen_cfg
+        self.gen_params = gen_params
+        self.gen_state = gen_state
+        self.enc_cfg = enc_cfg
+        self.enc_params = enc_params
+        self.enc_state = enc_state
+        self.enc_res = tuple(geom_inject_resolutions)
+        self.gan_checkpoint = gan_checkpoint
+        self.encoder_checkpoint = encoder_checkpoint
+        self.patch_width = gen_cfg.img_resolution
+        self.render_modes = {"clear", "full"}
+        self.render_mode = "clear"
+
+        # Imported lazily to avoid a cycle (mapper renders via this engine).
+        from brushstroke_engine_tpu.engine.mapper import StyleUVSMapper
+        self.uvs_mapper = StyleUVSMapper(self)
+
+    def set_render_mode(self, mode):
+        if mode not in self.render_modes:
+            raise RuntimeError(f"Render mode should be one of "
+                               f"{self.render_modes}")
+        self.render_mode = mode
+
+    def summary(self):
+        return "{} GAN: {} encoder: {}".format(
+            type(self).__name__, self.gan_checkpoint,
+            self.encoder_checkpoint)
+
+    def random_style(self, seed):
+        # Bit-compatible with reference brush identities (brush.py:667-670).
+        return np.random.RandomState(seed=seed).randn(1, self.gen_cfg.z_dim)
+
+    def prepare_geom_input(self, stroke_patch: np.ndarray) -> np.ndarray:
+        """W x W x {1,4} uint8 (opaque 255 = FG) -> [1, W, W, 1] float
+        (0 = FG stroke, 1 = BG), reference brush.py:672-681."""
+        alpha = stroke_patch[:, :, -1:].astype(np.float32) / 255.0
+        return (1.0 - alpha)[None]
+
+    def _run_core(self, geom, opts: GanBrushOptions,
+                  blended_features=None, return_features=()):
+        b = geom.shape[0]
+        opts.prepare_style(b)
+        override, mask = opts.color_override(b)
+        sfactor = None
+        if opts.enable_uvs_mapping:
+            sfactor = self.uvs_mapper.get_sfactor(opts)
+        positions = opts.get_position()
+        noise_buffers = opts.custom_args.get("noise_buffers") or None
+        if noise_buffers is not None:
+            noise_buffers = {k: jnp.asarray(np.asarray(v).reshape(
+                np.asarray(v).shape[-2:])) for k, v in noise_buffers.items()}
+        out = render_core(
+            self.gen_cfg, self.enc_cfg, self.enc_res, self.render_mode,
+            tuple(return_features), self.color_format,
+            self.gen_params, self.gen_state, self.enc_params, self.enc_state,
+            jnp.asarray(geom),
+            None if opts.style_z is None else jnp.asarray(opts.style_z,
+                                                          jnp.float32),
+            None if opts.style_ws is None else jnp.asarray(opts.style_ws,
+                                                           jnp.float32),
+            None if positions is None else jnp.asarray(positions),
+            noise_buffers,
+            None if override is None else jnp.asarray(override),
+            None if mask is None else jnp.asarray(mask),
+            blended_features,
+            None if sfactor is None else jnp.asarray(sfactor, jnp.float32))
+        return out
+
+    def _render_stroke_jax(self, geom, canvas, opts, **generator_kwargs):
+        """Device-side render; returns (rgba [B,W,W,4] float, raw_out dict,
+        debug_img or None).  Equivalent of reference _render_stroke_torch."""
+        out = self._run_core(geom, opts,
+                             blended_features=generator_kwargs.get(
+                                 "blended_features"),
+                             return_features=generator_kwargs.get(
+                                 "return_features", ()))
+        debug_img = None
+        if opts.debug:
+            debug_img = self._make_debug_image(geom, out)
+        return out["rgba"], out, debug_img
+
+    def render_stroke(self, stroke_patch, canvas_patch, opts,
+                      **generator_kwargs):
+        """uint8 W x W x 4 stroke patch -> (uint8 W x W x 4 RGBA, debug)."""
+        geom = self.prepare_geom_input(stroke_patch)[..., None]
+        geom = geom.reshape(1, self.patch_width, self.patch_width, 1)
+        rgba, _, debug_img = self._render_stroke_jax(geom, canvas_patch, opts,
+                                                     **generator_kwargs)
+        res = np.asarray(rgba[0])
+        res = np.clip(res * 255.0, 0, 255).astype(np.uint8)
+        return np.ascontiguousarray(res), debug_img
+
+    def _make_debug_image(self, geom, out):
+        """Contact sheet: input geometry | u | v | s | composite
+        (compact analog of reference _make_debug_image, brush.py:807-875)."""
+        pw = self.patch_width
+        margin = 5
+        uvs = np.asarray(out["uvs"][0])
+        rgba = np.clip(np.asarray(out["rgba"][0]) * 255, 0, 255)
+        panels = [np.tile(np.asarray(geom[0]) * 255, (1, 1, 3)),
+                  *[np.tile(uvs[..., i:i + 1] * 255, (1, 1, 3))
+                    for i in range(3)],
+                  rgba[..., :3]]
+        sheet = np.zeros((pw, len(panels) * (pw + margin), 4), np.uint8)
+        x = 0
+        for p in panels:
+            sheet[:, x:x + pw, :3] = p.astype(np.uint8)
+            sheet[:, x:x + pw, 3] = 255
+            x += pw + margin
+        return np.ascontiguousarray(sheet)
+
+
+class TriadGanPaintEngine(GanPaintEngine):
+    """Color-triad (UVS) engine: composite = sum_k uvs_k * color_k, alpha =
+    U + V in clear mode (reference brush.py:720-805)."""
+
+    color_format = "triad"
+
+
+class CanvasPaintEngine(GanPaintEngine):
+    """Canvas-format engine with extra 'stroke'/'canvas' render modes
+    (reference brush.py:878-1064)."""
+
+    color_format = "canvas"
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.render_modes.add("stroke")
+        self.render_modes.add("canvas")
+
+
+class MockPaintEngine(PaintEngine):
+    """Draws a red frame; lets the server/UI stack run with no checkpoint
+    (reference brush.py:1067-1096)."""
+
+    def __init__(self, patch_width):
+        super().__init__()
+        self.patch_width = patch_width
+
+    def render_stroke(self, stroke_patch, canvas_patch, opts,
+                      **generator_kwargs):
+        result = np.copy(canvas_patch)
+        result[:3, :, 0] = 255
+        result[:3, :, -1] = 255
+        result[-3:, :, 0] = 255
+        result[-3:, :, -1] = 255
+        result[:, 0, 0] = 255
+        result[:, 0, -1] = 255
+        result[:, -3:, 0] = 255
+        result[:, -3:, -1] = 255
+        return result, None, None
+
+    def summary(self):
+        return "mock engine"
+
+
+class PaintEngineFactory:
+    """Build an engine from checkpoints (reference brush.py:550-604).
+
+    Accepts either native checkpoints (orbax/msgpack directories produced by
+    this framework) or converted reference pkls via
+    :mod:`brushstroke_engine_tpu.utils.checkpoint`.
+    """
+
+    @staticmethod
+    def create(gan_checkpoint: Optional[str],
+               encoder_checkpoint: Optional[str] = None):
+        if gan_checkpoint is None:
+            logger.warning("Creating MockPaintEngine")
+            return MockPaintEngine(256)
+        from brushstroke_engine_tpu.utils import checkpoint as ckpt
+        bundle = ckpt.load_engine_bundle(gan_checkpoint, encoder_checkpoint)
+        cls = TriadGanPaintEngine if bundle.color_format == "triad" \
+            else CanvasPaintEngine
+        return cls(bundle.gen_cfg, bundle.gen_params, bundle.gen_state,
+                   bundle.enc_cfg, bundle.enc_params, bundle.enc_state,
+                   geom_inject_resolutions=bundle.geom_inject_resolutions,
+                   gan_checkpoint=gan_checkpoint,
+                   encoder_checkpoint=encoder_checkpoint or "")

@@ -1,0 +1,277 @@
+"""Server-side canvas state: geometry canvas, feature canvas, stroke orchestration.
+
+Rebuild of the reference FeatureCanvas + PaintingHelper
+(reference: forger/ui/brush.py:33-407).  The feature canvas stores
+intermediate generator activations in canvas space so overlapping patches can
+be blended seamlessly; PaintingHelper computes the distance-based blend alpha
+for each dirty region, feeds stored features into the jitted render core, and
+writes the returned features back.
+
+Host/device split: area bookkeeping and masks are numpy (cheap, dynamic);
+the features themselves stay as jax arrays and the blend executes inside the
+jitted render.
+"""
+
+from __future__ import annotations
+
+import copy
+import logging
+import math
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from brushstroke_engine_tpu.engine import areas
+from brushstroke_engine_tpu.engine.areas import Area
+from brushstroke_engine_tpu.engine.brush import GanBrushOptions
+
+logger = logging.getLogger(__name__)
+
+
+class FeatureCanvas:
+    """Persistent [1, H/d, W/d, C] feature store + validity mask
+    (reference brush.py:33-92, NHWC here)."""
+
+    def __init__(self, canvas_height: int, canvas_width: int,
+                 down_factor: int):
+        self.canvas_width = canvas_width
+        self.canvas_height = canvas_height
+        self.down_factor = down_factor
+        self.width = int(math.ceil(canvas_width / down_factor))
+        self.height = int(math.ceil(canvas_height / down_factor))
+        self.features: Optional[np.ndarray] = None
+        self.mask: Optional[np.ndarray] = None
+
+    def _init_canvases(self, feature_patch: np.ndarray):
+        c = feature_patch.shape[-1]
+        self.features = np.zeros((1, self.height, self.width, c),
+                                 feature_patch.dtype)
+        self.mask = np.zeros((self.height, self.width), bool)
+
+    def down_area(self, area: Area) -> Area:
+        d = self.down_factor
+        if (area.rows % d or area.cols % d or area.rstart % d
+                or area.cstart % d):
+            logger.warning(f"Area {area} not divisible by {d} in feature "
+                           f"canvas")
+        return areas.make_area(area.rstart // d, area.cstart // d,
+                               area.rows // d, area.cols // d)
+
+    def get_features(self, area: Area):
+        if self.mask is None:
+            return None, None
+        return (self.mask[area.rstart:area.rend, area.cstart:area.cend],
+                self.features[:, area.rstart:area.rend,
+                              area.cstart:area.cend, :])
+
+    def set_features(self, area: Area, feature_patch, update_mask=None):
+        feature_patch = np.asarray(feature_patch)
+        if self.features is None:
+            self._init_canvases(feature_patch)
+        sl = (slice(area.rstart, area.rend), slice(area.cstart, area.cend))
+        if update_mask is None:
+            self.mask[sl] = True
+            self.features[:, sl[0], sl[1], :] = feature_patch
+        else:
+            m = np.asarray(update_mask)
+            self.mask[sl] |= m
+            region = self.features[:, sl[0], sl[1], :]
+            region[:, m, :] = feature_patch[:, m, :]
+            self.features[:, sl[0], sl[1], :] = region
+
+
+def generate_dirty_area_alpha(dirty_area: Area, width: int, margin: int,
+                              crop_margin: int = 0) -> np.ndarray:
+    """Distance-based blend weight: 1 inside the dirty area, linear falloff
+    over ``margin`` pixels outside (reference brush.py:159-187)."""
+    if dirty_area.min_width == width:
+        dirty_area = areas.make_area(
+            margin + crop_margin, margin + crop_margin,
+            width - 2 * margin - 2 * crop_margin,
+            width - 2 * margin - 2 * crop_margin)
+
+    x = np.arange(width, dtype=np.float64)
+    grid_y, grid_x = np.meshgrid(x, x, indexing="ij")
+
+    dist_sq_x = np.minimum((grid_x - dirty_area.cstart) ** 2,
+                           (grid_x - dirty_area.cend + 1) ** 2)
+    dist_sq_y = np.minimum((grid_y - dirty_area.rstart) ** 2,
+                           (grid_y - dirty_area.rend + 1) ** 2)
+
+    dist_sq = dist_sq_x + dist_sq_y
+    cs, ce = dirty_area.cstart, dirty_area.cend
+    rs, re = dirty_area.rstart, dirty_area.rend
+    dist_sq[0:rs, cs:ce] = dist_sq_y[0:rs, cs:ce]
+    dist_sq[re:, cs:ce] = dist_sq_y[re:, cs:ce]
+    dist_sq[rs:re, 0:cs] = dist_sq_x[rs:re, 0:cs]
+    dist_sq[rs:re, ce:] = dist_sq_x[rs:re, ce:]
+    dist = np.sqrt(dist_sq)
+
+    result = 1.0 - dist / margin
+    result[result < 0] = 0
+    result[rs:re, cs:ce] = 1
+    return result.astype(np.float32)
+
+
+class PaintingHelper:
+    """Per-session canvas/render orchestration (reference brush.py:95-407)."""
+
+    def __init__(self, paint_engine, style_seed=None, debug_dir=None):
+        self.engine = paint_engine
+        self.seed_rng = np.random.default_rng(seed=style_seed)
+        self.brush_options = GanBrushOptions()
+        self.brush_options.set_style(*self.random_brush_style())
+        self.debug_dir = debug_dir
+        self.render_id = 0
+
+        self.geom_canvas: Optional[np.ndarray] = None
+        self.feature_canvas: Optional[FeatureCanvas] = None
+        self.feature_blending_level = 0   # 0 off, 1 full res, 2 res/2, ...
+        self.feature_blending_margin = 16
+
+    # ----- canvas management -----
+
+    def make_new_canvas(self, rows, cols, feature_blending=None):
+        self.geom_canvas = np.ones((rows, cols), np.float32)
+        logger.info(f"Requesting new canvas {rows}x{cols}")
+        self.set_feature_blending(self.feature_blending_level
+                                  if feature_blending is None
+                                  else feature_blending)
+
+    def set_feature_blending(self, feature_blending_level=0):
+        down_factor = 2 ** (feature_blending_level - 1)
+        self.feature_blending_level = feature_blending_level
+        if feature_blending_level > 0:
+            self.feature_canvas = FeatureCanvas(
+                self.geom_canvas.shape[-2], self.geom_canvas.shape[-1],
+                down_factor=down_factor)
+        else:
+            self.feature_canvas = None
+
+    # ----- brush management -----
+
+    def set_new_brush(self, seed=None):
+        style_z, seed = self.random_brush_style(seed)
+        self.brush_options.set_style(style_z, seed)
+        return seed
+
+    def set_render_mode(self, mode=None):
+        self.engine.set_render_mode(mode)
+
+    def generate_style_seed(self):
+        return int(self.seed_rng.integers(low=0, high=10000, size=1)[0])
+
+    def random_brush_style(self, seed=None):
+        if seed is None:
+            seed = self.generate_style_seed()
+        return self.engine.random_style(seed), seed
+
+    def default_brush_options(self):
+        return copy.copy(self.brush_options)
+
+    # ----- feature blending -----
+
+    def _get_blended_features(self, feature_canvas, dirty_area, gen_area,
+                              crop_margin):
+        blend_margin = self.feature_blending_margin \
+            // feature_canvas.down_factor
+        crop_margin = crop_margin // feature_canvas.down_factor
+        blending_resolution = int(
+            self.engine.patch_width // (2 ** (self.feature_blending_level - 1)))
+
+        update_mask = np.zeros((blending_resolution, blending_resolution),
+                               bool)
+        dirty_sc = feature_canvas.down_area(dirty_area)
+        gen_sc = feature_canvas.down_area(gen_area)
+
+        relative_dirty = areas.make_area_relative(dirty_sc, gen_sc)
+        alpha = generate_dirty_area_alpha(relative_dirty, gen_sc.min_width,
+                                          margin=blend_margin,
+                                          crop_margin=crop_margin)
+        update_mask[alpha > 0.99] = True
+
+        mask, features = feature_canvas.get_features(gen_sc)
+        if mask is not None:
+            update_mask[np.logical_and(mask, alpha > 0)] = True
+            alpha = alpha.copy()
+            alpha[np.logical_not(mask)] = 1
+            alpha = 1 - alpha
+            blended = (jnp.asarray(features),
+                       jnp.asarray(alpha[None, :, :, None]))
+        else:
+            blended = None
+
+        if crop_margin > 0:
+            update_mask[:crop_margin, :] = False
+            update_mask[-crop_margin:, :] = False
+            update_mask[:, :crop_margin] = False
+            update_mask[:, -crop_margin:] = False
+        return blending_resolution, blended, update_mask
+
+    def get_blended_features(self, dirty_area, gen_area, crop_margin):
+        if self.feature_canvas is not None:
+            res, blended, update_mask = self._get_blended_features(
+                self.feature_canvas, dirty_area, gen_area, crop_margin)
+            if blended is not None:
+                return [res], {res: blended}, update_mask
+            return [res], {}, update_mask
+        return [], {}, None
+
+    def update_blended_features(self, blended_resolutions, raw_net_output,
+                                gen_area, update_mask=None):
+        if self.feature_canvas is not None:
+            gen_sc = self.feature_canvas.down_area(gen_area)
+            feats = raw_net_output[f"features{blended_resolutions[0]}"]
+            self.feature_canvas.set_features(gen_sc, np.asarray(feats),
+                                             update_mask)
+
+    # ----- stroke rendering -----
+
+    def render_stroke(self, stroke_patch, canvas_patch, opts, meta=None):
+        h, w, _ = stroke_patch.shape
+        dirty_area = None
+        gen_area = areas.make_area(0, 0, h, w)
+        crop_margin = 0
+        if meta is not None:
+            x = int(meta.get("x"))
+            y = int(meta.get("y"))
+            if self.feature_canvas is not None:
+                d = self.feature_canvas.down_factor
+                x = (x // d) * d
+                y = (y // d) * d
+            dirty_area = areas.make_area(y, x, h, w)
+            gen_area = areas.make_area(y, x, h, w)
+            if "crop_margin" in meta:
+                crop_margin = int(meta.get("crop_margin"))
+
+        geom = self.engine.prepare_geom_input(stroke_patch)
+        if w != self.engine.patch_width or h != self.engine.patch_width:
+            raise RuntimeError("Partial-patch rendering not implemented; "
+                               "send full patches")
+        geom = geom.reshape(1, h, w, 1)
+
+        generator_kwargs = {}
+        blended_resolutions = []
+        feature_update_mask = None
+        if self.feature_blending_level > 0:
+            assert dirty_area is not None
+            blended_resolutions, blended_features, feature_update_mask = \
+                self.get_blended_features(dirty_area, gen_area, crop_margin)
+            generator_kwargs["blended_features"] = blended_features
+            generator_kwargs["return_features"] = tuple(blended_resolutions)
+
+        rgba, raw_out, debug_img = self.engine._render_stroke_jax(
+            geom, canvas_patch, opts, **generator_kwargs)
+
+        self.update_blended_features(blended_resolutions, raw_out, gen_area,
+                                     feature_update_mask)
+
+        gen_area = areas.offset_area(gen_area, crop_margin)
+        img = np.asarray(rgba[0])
+        if crop_margin > 0:
+            img = img[crop_margin:-crop_margin, crop_margin:-crop_margin]
+        out_meta = {"x": gen_area.cstart, "y": gen_area.rstart}
+        img = np.clip(img * 255.0, 0, 255).astype(np.uint8)
+        self.render_id += 1
+        return np.ascontiguousarray(img), debug_img, out_meta

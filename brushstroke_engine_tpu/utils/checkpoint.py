@@ -1,0 +1,421 @@
+"""Checkpoint I/O: native bundles and reference-PyTorch conversion.
+
+Native format: a single pickle holding dataclass configs (as dicts) + numpy
+parameter trees -- self-contained, torch-free, and loadable anywhere.
+
+Reference conversion (the migration path promised by BASELINE.md): loads a
+reference snapshot pkl ``{G, D, G_ema, args, encoder, ...}``
+(reference: thirdparty/.../training_loop_modified.py:560-578 for the format,
+legacy.py:20 for the loader) without executing its embedded source, then maps
+every tensor into our layouts:
+
+  * FC weights   [out, in]        -> [in, out]
+  * conv weights OIHW             -> HWIO
+  * const input  [C, 4, 4]        -> [4, 4, C]
+  * D epilogue fc: torch flattens NCHW, we flatten NHWC -> column permute
+  * noise_const buffers           -> state['noise']['b{res}.conv{i}.noise_const']
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import logging
+import os
+import pickle
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+from brushstroke_engine_tpu.models.generator import (
+    GeneratorConfig, make_generator_config,
+)
+from brushstroke_engine_tpu.models.geo_encoder import GeoEncoderConfig
+from brushstroke_engine_tpu.utils import torch_extract as tx
+
+logger = logging.getLogger(__name__)
+
+NATIVE_MAGIC = "brushstroke_engine_tpu.bundle.v1"
+
+
+@dataclass
+class EngineBundle:
+    gen_cfg: GeneratorConfig
+    gen_params: Dict
+    gen_state: Dict
+    enc_cfg: GeoEncoderConfig
+    enc_params: Dict
+    enc_state: Dict
+    color_format: str = "triad"
+    geom_inject_resolutions: Tuple[int, ...] = (0,)
+    extra: Dict = dataclasses.field(default_factory=dict)
+
+
+# ---------------------------------------------------------------------------
+# Native format
+# ---------------------------------------------------------------------------
+
+def save_native(path: str, bundle: EngineBundle):
+    payload = {
+        "magic": NATIVE_MAGIC,
+        "gen_cfg": dataclasses.asdict(bundle.gen_cfg),
+        "enc_cfg": dataclasses.asdict(bundle.enc_cfg),
+        "gen_params": _np_tree(bundle.gen_params),
+        "gen_state": _np_tree(bundle.gen_state),
+        "enc_params": _np_tree(bundle.enc_params),
+        "enc_state": _np_tree(bundle.enc_state),
+        "color_format": bundle.color_format,
+        "geom_inject_resolutions": tuple(bundle.geom_inject_resolutions),
+        "extra": bundle.extra,
+    }
+    with open(path, "wb") as f:
+        pickle.dump(payload, f, protocol=4)
+
+
+def load_native(path: str) -> EngineBundle:
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    assert payload.get("magic") == NATIVE_MAGIC, f"not a native bundle: {path}"
+    gen_cfg_d = dict(payload["gen_cfg"])
+    syn = gen_cfg_d.pop("synthesis")
+    from brushstroke_engine_tpu.models.synthesis import SynthesisConfig
+    for k in ("geom_feature_resolutions", "geom_feature_channels",
+              "resample_taps", "pos_encoding_resolutions"):
+        if k in syn and syn[k] is not None:
+            syn[k] = tuple(syn[k])
+    for k in ("posenc_inject_resolutions",):
+        if k in gen_cfg_d and gen_cfg_d[k] is not None:
+            gen_cfg_d[k] = tuple(gen_cfg_d[k])
+    gen_cfg = GeneratorConfig(synthesis=SynthesisConfig(**syn), **gen_cfg_d)
+    enc_d = dict(payload["enc_cfg"])
+    for k in ("down_filters", "post_filters", "up_filters"):
+        if k in enc_d and enc_d[k] is not None:
+            enc_d[k] = tuple(enc_d[k])
+    enc_cfg = GeoEncoderConfig(**enc_d)
+    return EngineBundle(
+        gen_cfg=gen_cfg,
+        gen_params=payload["gen_params"],
+        gen_state=payload["gen_state"],
+        enc_cfg=enc_cfg,
+        enc_params=payload["enc_params"],
+        enc_state=payload["enc_state"],
+        color_format=payload["color_format"],
+        geom_inject_resolutions=tuple(payload["geom_inject_resolutions"]),
+        extra=payload.get("extra", {}),
+    )
+
+
+def _np_tree(tree):
+    import jax
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def load_engine_bundle(gan_checkpoint: str,
+                       encoder_checkpoint: Optional[str] = None
+                       ) -> EngineBundle:
+    """Dispatch native bundle vs reference pkl (reference brush.py:552-604)."""
+    try:
+        return load_native(gan_checkpoint)
+    except Exception:
+        logger.info(f"{gan_checkpoint} is not a native bundle; trying "
+                    f"reference pkl conversion")
+    return convert_reference_snapshot(gan_checkpoint, encoder_checkpoint)
+
+
+# ---------------------------------------------------------------------------
+# Layout conversion primitives
+# ---------------------------------------------------------------------------
+
+def fc_from_torch(flat: Dict[str, np.ndarray], prefix: str) -> Dict:
+    p = {"weight": np.ascontiguousarray(flat[prefix + ".weight"].T)}
+    if prefix + ".bias" in flat:
+        p["bias"] = flat[prefix + ".bias"]
+    return p
+
+
+def conv_from_torch(w: np.ndarray) -> np.ndarray:
+    """OIHW -> HWIO."""
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0)))
+
+
+def convtranspose_from_torch(w: np.ndarray) -> np.ndarray:
+    """torch ConvTranspose2d weight IOHW -> HWIO (in, out swapped vs conv)."""
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 0, 1)))
+
+
+def epilogue_fc_from_torch(w: np.ndarray, channels: int, res: int = 4
+                           ) -> np.ndarray:
+    """Reorder the D epilogue fc for NHWC flattening.
+
+    torch: rows index flatten(C, H, W); ours: flatten(H, W, C).
+    """
+    out_f = w.shape[0]
+    w = w.reshape(out_f, channels, res, res)
+    w = np.transpose(w, (0, 2, 3, 1)).reshape(out_f, channels * res * res)
+    return np.ascontiguousarray(w.T)
+
+
+# ---------------------------------------------------------------------------
+# Generator conversion
+# ---------------------------------------------------------------------------
+
+def convert_generator_state(flat: Dict[str, np.ndarray],
+                            cfg: GeneratorConfig) -> Tuple[Dict, Dict]:
+    """Flat torch-name tensor map -> (params, state) for generator_apply."""
+    params = {"mapping": {}, "synthesis": {}}
+    noise = {}
+    state: Dict[str, Any] = {}
+
+    for i in range(cfg.mapping_layers):
+        params["mapping"][f"fc{i}"] = fc_from_torch(flat, f"mapping.fc{i}")
+    if "mapping.embed.weight" in flat:
+        params["mapping"]["embed"] = fc_from_torch(flat, "mapping.embed")
+    if "mapping.w_avg" in flat:
+        state["w_avg"] = flat["mapping.w_avg"]
+
+    for res in cfg.synthesis.block_resolutions:
+        b = f"synthesis.b{res}"
+        block: Dict[str, Any] = {}
+        if res == 4:
+            block["const"] = np.ascontiguousarray(
+                np.transpose(flat[f"{b}.const"], (1, 2, 0)))
+        convs = ["conv1"] if res == 4 else ["conv0", "conv1"]
+        for conv in convs:
+            block[conv] = {
+                "affine": fc_from_torch(flat, f"{b}.{conv}.affine"),
+                "weight": conv_from_torch(flat[f"{b}.{conv}.weight"]),
+                "bias": flat[f"{b}.{conv}.bias"],
+                "noise_strength": np.asarray(
+                    flat[f"{b}.{conv}.noise_strength"]),
+            }
+            nk = f"{b}.{conv}.noise_const"
+            if nk in flat:
+                noise[f"b{res}.{conv}.noise_const"] = flat[nk]
+        if f"{b}.torgb.weight" in flat:
+            torgb = {
+                "affine": fc_from_torch(flat, f"{b}.torgb.affine"),
+                "weight": conv_from_torch(flat[f"{b}.torgb.weight"]),
+                "bias": flat[f"{b}.torgb.bias"],
+            }
+            if f"{b}.torgb.color_bias" in flat:
+                torgb["color_bias"] = flat[f"{b}.torgb.color_bias"]
+            if f"{b}.torgb.color_affine.weight" in flat:
+                torgb["color_affine"] = fc_from_torch(
+                    flat, f"{b}.torgb.color_affine")
+            block["torgb"] = torgb
+        params["synthesis"][f"b{res}"] = block
+
+    state["noise"] = noise
+    return params, state
+
+
+def infer_generator_config(flat: Dict[str, np.ndarray],
+                           args: Dict[str, Any]) -> GeneratorConfig:
+    """Derive a GeneratorConfig from snapshot args + tensor shapes."""
+    # Resolution = largest b{res}.
+    resolutions = sorted({int(k.split(".")[1][1:]) for k in flat
+                          if k.startswith("synthesis.b")})
+    img_resolution = resolutions[-1]
+    z_dim = int(flat["mapping.fc0.weight"].shape[1])
+    mapping_layers = len({k for k in flat
+                          if k.startswith("mapping.fc")
+                          and k.endswith(".weight")})
+    w_dim = int(flat[f"mapping.fc{mapping_layers - 1}.weight"].shape[0])
+
+    color_format = args.get("color_format", "triad")
+    color_w_channels = int(args.get("color_w_channels", 0) or 0)
+
+    # Channel plan from conv1 weights: [O, I, k, k] per block.
+    chan = {res: int(flat[f"synthesis.b{res}.conv1.weight"].shape[0])
+            for res in resolutions}
+    channel_max = max(chan.values())
+    # channel_base so that min(channel_base // res, channel_max) == chan[res].
+    channel_base = max(c * r for r, c in chan.items())
+
+    # Geometry injection: conv0 in_channels exceeding the trunk channels.
+    geom_res = []
+    geom_ch = []
+    for res in resolutions:
+        if res == 4:
+            continue
+        in_ch = int(flat[f"synthesis.b{res}.conv0.weight"].shape[1])
+        extra = in_ch - chan[res // 2]
+        if extra > 0:
+            geom_res.append(res // 2)
+            geom_ch.append(extra)
+
+    return make_generator_config(
+        z_dim=z_dim, c_dim=int(args.get("c_dim", 0) or 0), w_dim=w_dim,
+        img_resolution=img_resolution,
+        geom_feature_resolutions=tuple(geom_res),
+        geom_feature_channels=tuple(geom_ch),
+        color_format=color_format, color_w_channels=color_w_channels,
+        channel_base=channel_base, channel_max=channel_max,
+        mapping_layers=mapping_layers)
+
+
+# ---------------------------------------------------------------------------
+# Encoder conversion ('sauto' family)
+# ---------------------------------------------------------------------------
+
+def encoder_config_from_args(args: Dict[str, Any]) -> GeoEncoderConfig:
+    def intlist(v, default):
+        if v is None:
+            return tuple(default)
+        if isinstance(v, str):
+            return tuple(int(x) for x in v.split(",") if x)
+        return tuple(int(x) for x in v)
+
+    kind = args.get("model_name", "sauto")
+    if kind == "sauto":
+        return GeoEncoderConfig(
+            kind="sauto",
+            in_channels=int(args.get("encoder_in_channels", 1)),
+            out_channels=int(args.get("decoder_out_channels", 1)),
+            preproc=args.get("preproc_type", "none"),
+            pre_filters=int(args.get("encoder_pre_filters", 64)),
+            down_filters=intlist(args.get("encoder_down_filters"),
+                                 (128, 256, 256)),
+            post_filters=intlist(args.get("encoder_post_filters"), (32, 16)),
+            up_filters=intlist(args.get("decoder_up_filters"),
+                               (256, 128, 64)),
+            decoder_pre_filters=int(args.get("decoder_pre_filters", -1) or -1),
+            neg_slope=args.get("neg_slope"),
+        )
+    return GeoEncoderConfig(
+        kind="conv",
+        in_channels=int(args.get("encoder_in_channels", 1)),
+        out_channels=int(args.get("decoder_out_channels", 1)),
+        preproc=args.get("preproc_type", "none"),
+        img_width=int(args.get("width", args.get("img_width", 128))),
+        emb_channel=int(args.get("emb_channel", 4)),
+        channel_factor=int(args.get("channel_factor", 4)),
+        num_layers=int(args.get("enc_layer", 4)),
+    )
+
+
+def convert_encoder_state(flat: Dict[str, np.ndarray],
+                          cfg: GeoEncoderConfig) -> Tuple[Dict, Dict]:
+    """torch state_dict names -> our geo-encoder (params, state).
+
+    sauto layout: encoder.model.{i} = SingleConvolution whose .conv is a
+    Sequential [Conv2d, BN, act] (legacy order) or [Conv2d, act, BN].
+    decoder: optional .first Sequential [Conv2d, act, BN], then .model.{i} =
+    ScaleUp(.conv.conv Sequential) / ScaleUpV2(.conv Sequential) and an
+    optional trailing 1x1 Conv2d.
+    """
+    params = {"encoder": {}, "decoder": {}}
+    state = {"encoder": {}, "decoder": {}}
+    bn_idx = 2 if cfg.batchnorm_after_activation else 1
+
+    def single_conv(prefix, bn_index=bn_idx, transpose=False):
+        wkey = prefix + ".0.weight"
+        conv_w = flat[wkey]
+        conv = {
+            "weight": convtranspose_from_torch(conv_w) if transpose
+            else conv_from_torch(conv_w),
+            "bias": flat[prefix + ".0.bias"],
+        }
+        bn_p = {"scale": flat[f"{prefix}.{bn_index}.weight"],
+                "bias": flat[f"{prefix}.{bn_index}.bias"]}
+        bn_s = {"mean": flat[f"{prefix}.{bn_index}.running_mean"],
+                "var": flat[f"{prefix}.{bn_index}.running_var"]}
+        return {"conv": conv, "bn": bn_p}, {"bn": bn_s}
+
+    if cfg.kind == "sauto":
+        n_enc = (1 if cfg.pre_filters > 0 else 0) + len(cfg.down_filters) \
+            + len(cfg.post_filters)
+        for i in range(n_enc):
+            p, s = single_conv(f"encoder.model.{i}.conv")
+            params["encoder"][f"layer{i}"] = p
+            state["encoder"][f"layer{i}"] = s
+        if any(k.startswith("decoder.first") for k in flat):
+            p, s = single_conv("decoder.first", bn_index=2)
+            params["decoder"]["first"] = p
+            state["decoder"]["first"] = s
+        for i in range(len(cfg.up_filters)):
+            if cfg.scale_up_v2:
+                p, s = single_conv(f"decoder.model.{i}.conv", bn_index=2,
+                                   transpose=True)
+            else:
+                # ScaleUp: .conv is SingleConvolution -> .conv.conv Sequential
+                p, s = single_conv(f"decoder.model.{i}.conv.conv",
+                                   bn_index=1)
+            params["decoder"][f"up{i}"] = p
+            state["decoder"][f"up{i}"] = s
+        final_key = f"decoder.model.{len(cfg.up_filters)}.weight"
+        if final_key in flat:
+            params["decoder"]["final"] = {
+                "weight": conv_from_torch(flat[final_key]),
+                "bias": flat[f"decoder.model.{len(cfg.up_filters)}.bias"],
+            }
+        return params, state
+
+    # 'conv' kind: encoder.layer{res}.* / encoder.final.* etc. with
+    # Sequential [Conv, act, BN] -> bn index 2.
+    enc_names = sorted({k.split(".")[1] for k in flat
+                        if k.startswith("encoder.")})
+    for name in enc_names:
+        p, s = single_conv(f"encoder.{name}", bn_index=2)
+        params["encoder"][name] = p
+        state["encoder"][name] = s
+    dec_names = sorted({k.split(".")[1] for k in flat
+                        if k.startswith("decoder.")})
+    for name in dec_names:
+        transpose = name.startswith("layer")
+        p, s = single_conv(f"decoder.{name}", bn_index=2,
+                           transpose=transpose)
+        params["decoder"][name] = p
+        state["decoder"][name] = s
+    return params, state
+
+
+# ---------------------------------------------------------------------------
+# Snapshot conversion
+# ---------------------------------------------------------------------------
+
+def convert_reference_snapshot(path: str,
+                               encoder_checkpoint: Optional[str] = None
+                               ) -> EngineBundle:
+    """Reference training snapshot pkl -> EngineBundle (G_ema + encoder)."""
+    pkl = tx.load_reference_pickle(path)
+    assert isinstance(pkl, dict), f"unexpected snapshot structure in {path}"
+
+    args = tx.module_attrs(pkl.get("args", {})) or {}
+    if hasattr(args, "__dict__"):
+        args = vars(args)
+
+    g_obj = pkl.get("G_ema", pkl.get("G"))
+    flat_g = tx.flatten_module_state(g_obj)
+    gen_cfg = infer_generator_config(flat_g, args)
+    gen_params, gen_state = convert_generator_state(flat_g, gen_cfg)
+
+    geom_inject = tuple(args.get("geom_inject_resolutions", (0,)))
+
+    enc_cfg = None
+    enc_params = enc_state = None
+    enc_ckpt = pkl.get("encoder")
+    if enc_ckpt is None and encoder_checkpoint:
+        enc_ckpt = tx.load_torch_file(encoder_checkpoint)
+    if enc_ckpt is not None:
+        enc_args = enc_ckpt.get("args", {})
+        if hasattr(enc_args, "__dict__"):
+            enc_args = vars(enc_args)
+        enc_args = tx.module_attrs(enc_args) if not isinstance(enc_args, dict)\
+            else enc_args
+        enc_cfg = encoder_config_from_args(enc_args)
+        flat_e = {k: tx.to_numpy(v)
+                  for k, v in enc_ckpt["model_state"].items()}
+        enc_params, enc_state = convert_encoder_state(flat_e, enc_cfg)
+    else:
+        raise ValueError(
+            "No geometry encoder found in snapshot and no encoder checkpoint "
+            "given (reference brush.py:588-590)")
+
+    return EngineBundle(
+        gen_cfg=gen_cfg, gen_params=gen_params, gen_state=gen_state,
+        enc_cfg=enc_cfg, enc_params=enc_params, enc_state=enc_state,
+        color_format=args.get("color_format", "triad"),
+        geom_inject_resolutions=geom_inject,
+        extra={"args": args})
