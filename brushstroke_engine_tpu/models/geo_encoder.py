@@ -72,10 +72,11 @@ def _reflect_conv(params, x, stride: int = 1, pad: int = 1):
     if pad > 0:
         x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)),
                     mode="reflect")
+    from brushstroke_engine_tpu.ops.precision import conv_precision
     y = jax.lax.conv_general_dilated(
         x, params["weight"], (stride, stride), "VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        precision=jax.lax.Precision.HIGHEST,
+        precision=conv_precision(x.dtype),
         preferred_element_type=jnp.float32)
     return y + params["bias"]
 
@@ -87,11 +88,12 @@ def _conv_transpose(params, x, stride: int = 2, pad: int = 1,
     w = params["weight"][::-1, ::-1]  # transpose conv convolves (flips) kernel
     lo = k - 1 - pad
     hi = k - 1 - pad + output_padding
+    from brushstroke_engine_tpu.ops.precision import conv_precision
     y = jax.lax.conv_general_dilated(
         x, w, (1, 1), ((lo, hi), (lo, hi)),
         lhs_dilation=(stride, stride),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        precision=jax.lax.Precision.HIGHEST,
+        precision=conv_precision(x.dtype),
         preferred_element_type=jnp.float32)
     return y + params["bias"]
 
@@ -122,10 +124,9 @@ def upsample_bilinear_align_corners(x, factor: int = 2):
 
     wh = jnp.asarray(weights(h, h * factor))
     ww = jnp.asarray(weights(w, w * factor))
-    x = jnp.einsum("ih,bhwc->biwc", wh, x,
-                   precision=jax.lax.Precision.HIGHEST)
-    x = jnp.einsum("jw,bhwc->bhjc", ww, x,
-                   precision=jax.lax.Precision.HIGHEST)
+    from brushstroke_engine_tpu.ops.precision import conv_precision
+    x = jnp.einsum("ih,bhwc->biwc", wh, x, precision=conv_precision(x.dtype))
+    x = jnp.einsum("jw,bhwc->bhjc", ww, x, precision=conv_precision(x.dtype))
     return x
 
 

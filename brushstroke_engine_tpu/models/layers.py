@@ -47,8 +47,8 @@ def fc_apply(params, x, activation: str = "linear", lr_multiplier: float = 1.0):
     b = params.get("bias")
     if b is not None and lr_multiplier != 1.0:
         b = b * lr_multiplier
-    x = jnp.matmul(x, w, precision=jax.lax.Precision.HIGHEST
-                   if x.dtype == jnp.float32 else None)
+    from brushstroke_engine_tpu.ops.precision import conv_precision
+    x = jnp.matmul(x, w, precision=conv_precision(x.dtype))
     return bias_act(x, None if b is None else b.astype(x.dtype),
                     dim=-1, act=activation)
 

@@ -45,10 +45,8 @@ from brushstroke_engine_tpu.ops.upfirdn import (
 
 def _dense_conv(x, w, strides=(1, 1), padding=((0, 0), (0, 0)),
                 lhs_dilation=(1, 1), groups: int = 1):
-    # float32 inputs get true-f32 math (TPU default would silently drop conv
-    # inputs to bf16); the perf path passes bf16 activations explicitly.
-    precision = (jax.lax.Precision.HIGHEST
-                 if x.dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
+    from brushstroke_engine_tpu.ops.precision import conv_precision
+    precision = conv_precision(x.dtype)
     out = jax.lax.conv_general_dilated(
         x, w.astype(x.dtype),
         window_strides=strides,

@@ -101,10 +101,8 @@ def upfirdn2d(x, f, up=1, down=1, padding=0, flip_filter: bool = False,
 
     kernel = jnp.broadcast_to(
         jnp.asarray(f, dtype=x.dtype)[:, :, None, None], (fh, fw, 1, c))
-    # float32 inputs get true-f32 math (TPU default would silently drop conv
-    # inputs to bf16); the perf path passes bf16 activations explicitly.
-    precision = (jax.lax.Precision.HIGHEST
-                 if x.dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
+    from brushstroke_engine_tpu.ops.precision import conv_precision
+    precision = conv_precision(x.dtype)
     out = jax.lax.conv_general_dilated(
         x,
         kernel,
