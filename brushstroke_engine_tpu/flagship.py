@@ -44,12 +44,12 @@ def flagship_generator_config(img_resolution: int = 128,
         num_bf16_res=num_bf16_res)
 
 
-def flagship_discriminator_config(img_resolution: int = 128,
-                                  geom_channels: int = 1
+def flagship_discriminator_config(img_resolution: int = 128
                                   ) -> DiscriminatorConfig:
+    # D sees only the 3-channel image; geometry conditions G, not D
+    # (reference loss_modified.py run_D, loss_modified.py:101-106).
     return DiscriminatorConfig(
-        c_dim=0, img_resolution=img_resolution,
-        img_channels=3 + geom_channels,
+        c_dim=0, img_resolution=img_resolution, img_channels=3,
         channel_base=16384, channel_max=128)
 
 

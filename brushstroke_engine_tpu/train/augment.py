@@ -1,0 +1,317 @@
+"""Adaptive discriminator augmentation (ADA) pipeline.
+
+Functional rebuild of the reference AugmentPipe
+(reference: thirdparty/.../training/augment.py:117-431) for NHWC batches,
+driven by an explicit PRNG key and a *traced* probability scalar ``p`` so the
+whole pipeline lives inside the jitted D steps with no recompilation as ADA
+adjusts p.
+
+Implemented transform groups (the shipped config is 'bgc',
+reference train.py:446-457):
+  * pixel blitting: x-flip, 90-degree rotations, integer translation
+  * general geometric: isotropic/anisotropic scaling, pre/post rotation,
+    fractional translation -- composed into one inverse 2D affine and applied
+    with bilinear sampling + reflection padding.  The reference additionally
+    pads/filters with an orthogonal sym6 wavelet bank for antialiasing
+    (augment.py geometric section); plain bilinear is a documented
+    simplification with matching distributions of transforms.
+  * color: brightness, contrast, luma flip, hue rotation, saturation via a
+    homogeneous 4x4 color matrix (exact reference math).
+  * noise: additive half-normal gaussian; cutout: random 0.5-size rectangle.
+  * imgfilter: NOT yet implemented (only used by 'bgcf*' configs); applying
+    it raises.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class AugmentConfig:
+    xflip: float = 0.0
+    rotate90: float = 0.0
+    xint: float = 0.0
+    xint_max: float = 0.125
+    scale: float = 0.0
+    rotate: float = 0.0
+    aniso: float = 0.0
+    xfrac: float = 0.0
+    scale_std: float = 0.2
+    rotate_max: float = 1.0
+    aniso_std: float = 0.2
+    xfrac_std: float = 0.125
+    brightness: float = 0.0
+    contrast: float = 0.0
+    lumaflip: float = 0.0
+    hue: float = 0.0
+    saturation: float = 0.0
+    brightness_std: float = 0.2
+    contrast_std: float = 0.5
+    hue_max: float = 1.0
+    saturation_std: float = 1.0
+    imgfilter: float = 0.0
+    noise: float = 0.0
+    cutout: float = 0.0
+    noise_std: float = 0.1
+    cutout_size: float = 0.5
+
+    @staticmethod
+    def from_spec(name: str) -> "AugmentConfig":
+        """The reference augpipe presets (train.py:446-457)."""
+        specs = {
+            "blit": dict(xflip=1, rotate90=1, xint=1),
+            "geom": dict(scale=1, rotate=1, aniso=1, xfrac=1),
+            "color": dict(brightness=1, contrast=1, lumaflip=1, hue=1,
+                          saturation=1),
+            "noise": dict(noise=1),
+            "cutout": dict(cutout=1),
+            "bg": dict(xflip=1, rotate90=1, xint=1, scale=1, rotate=1,
+                       aniso=1, xfrac=1),
+            "bgc": dict(xflip=1, rotate90=1, xint=1, scale=1, rotate=1,
+                        aniso=1, xfrac=1, brightness=1, contrast=1,
+                        lumaflip=1, hue=1, saturation=1),
+            "bgcn": dict(xflip=1, rotate90=1, xint=1, scale=1, rotate=1,
+                         aniso=1, xfrac=1, brightness=1, contrast=1,
+                         lumaflip=1, hue=1, saturation=1, noise=1),
+            "bgcnc": dict(xflip=1, rotate90=1, xint=1, scale=1, rotate=1,
+                          aniso=1, xfrac=1, brightness=1, contrast=1,
+                          lumaflip=1, hue=1, saturation=1, noise=1, cutout=1),
+        }
+        if name not in specs:
+            raise ValueError(f"unknown/unsupported augpipe spec {name!r} "
+                             f"(imgfilter configs not yet implemented)")
+        return AugmentConfig(**{k: float(v) for k, v in specs[name].items()})
+
+
+def _bernoulli(rng, shape, prob):
+    return (jax.random.uniform(rng, shape) < prob).astype(jnp.float32)
+
+
+def _affine_warp(images, mat, out_size=None):
+    """Apply per-sample inverse affine matrices with bilinear sampling.
+
+    Args:
+      images: [B, H, W, C]
+      mat: [B, 3, 3] mapping OUTPUT pixel coords (centered) to INPUT coords.
+    """
+    b, h, w, c = images.shape
+    oh, ow = out_size or (h, w)
+    ys = jnp.arange(oh, dtype=jnp.float32) - (oh - 1) / 2.0
+    xs = jnp.arange(ow, dtype=jnp.float32) - (ow - 1) / 2.0
+    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+    ones = jnp.ones_like(gx)
+    coords = jnp.stack([gx, gy, ones], axis=-1)            # [oh, ow, 3]
+    src = jnp.einsum("bij,hwj->bhwi", mat, coords)          # [B, oh, ow, 3]
+    sx = src[..., 0] + (w - 1) / 2.0
+    sy = src[..., 1] + (h - 1) / 2.0
+
+    def reflect(v, n):
+        # Reflect-101 style padding into [0, n-1].
+        period = 2.0 * (n - 1)
+        v = jnp.mod(v, period)
+        return jnp.where(v > (n - 1), period - v, v)
+
+    sx = reflect(sx, w)
+    sy = reflect(sy, h)
+    x0 = jnp.floor(sx).astype(jnp.int32)
+    y0 = jnp.floor(sy).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    fx = (sx - x0)[..., None]
+    fy = (sy - y0)[..., None]
+
+    bidx = jnp.arange(b)[:, None, None]
+
+    def gather(yy, xx):
+        return images[bidx, yy, xx]
+
+    out = ((1 - fy) * (1 - fx) * gather(y0, x0)
+           + (1 - fy) * fx * gather(y0, x1)
+           + fy * (1 - fx) * gather(y1, x0)
+           + fy * fx * gather(y1, x1))
+    return out
+
+
+def _rot2(theta):
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    z = jnp.zeros_like(theta)
+    o = jnp.ones_like(theta)
+    return jnp.stack([jnp.stack([c, -s, z], -1),
+                      jnp.stack([s, c, z], -1),
+                      jnp.stack([z, z, o], -1)], -2)
+
+
+def _scale2(sx, sy):
+    z = jnp.zeros_like(sx)
+    o = jnp.ones_like(sx)
+    return jnp.stack([jnp.stack([sx, z, z], -1),
+                      jnp.stack([z, sy, z], -1),
+                      jnp.stack([z, z, o], -1)], -2)
+
+
+def _translate2(tx, ty):
+    z = jnp.zeros_like(tx)
+    o = jnp.ones_like(tx)
+    return jnp.stack([jnp.stack([o, z, tx], -1),
+                      jnp.stack([z, o, ty], -1),
+                      jnp.stack([z, z, o], -1)], -2)
+
+
+def augment_pipe(cfg: AugmentConfig, rng, images, p):
+    """Apply the ADA pipeline.
+
+    Args:
+      cfg: static transform multipliers.
+      rng: PRNG key.
+      images: [B, H, W, C] float in roughly [-1, 1].
+      p: traced scalar overall probability.
+
+    Returns augmented images, same shape.
+    """
+    b, h, w, c = images.shape
+    keys = jax.random.split(rng, 40)
+    ki = iter(keys)
+
+    # ---------------- pixel blitting + geometric -> one affine -------------
+    g = jnp.broadcast_to(jnp.eye(3), (b, 3, 3))
+
+    if cfg.xflip > 0:
+        i = jnp.round(jax.random.uniform(next(ki), (b,)))
+        i = i * _bernoulli(next(ki), (b,), cfg.xflip * p)
+        g = _scale2(1 - 2 * i, jnp.ones((b,))) @ g
+    if cfg.rotate90 > 0:
+        i = jnp.floor(jax.random.uniform(next(ki), (b,)) * 4)
+        i = i * _bernoulli(next(ki), (b,), cfg.rotate90 * p)
+        g = _rot2(-math.pi / 2 * i) @ g
+    if cfg.xint > 0:
+        t = (jax.random.uniform(next(ki), (b, 2)) * 2 - 1) * cfg.xint_max
+        t = t * _bernoulli(next(ki), (b, 1), cfg.xint * p)
+        g = _translate2(jnp.round(t[:, 0] * w), jnp.round(t[:, 1] * h)) @ g
+
+    if cfg.scale > 0:
+        s = jnp.exp2(jax.random.normal(next(ki), (b,)) * cfg.scale_std)
+        s = jnp.where(_bernoulli(next(ki), (b,), cfg.scale * p) > 0, s, 1.0)
+        g = _scale2(s, s) @ g
+    p_rot = 1 - jnp.sqrt(jnp.clip(1 - cfg.rotate * p, 0, 1))  # P(pre OR post)
+    if cfg.rotate > 0:
+        theta = (jax.random.uniform(next(ki), (b,)) * 2 - 1) * \
+            math.pi * cfg.rotate_max
+        theta = theta * _bernoulli(next(ki), (b,), p_rot)
+        g = _rot2(-theta) @ g
+    if cfg.aniso > 0:
+        s = jnp.exp2(jax.random.normal(next(ki), (b,)) * cfg.aniso_std)
+        s = jnp.where(_bernoulli(next(ki), (b,), cfg.aniso * p) > 0, s, 1.0)
+        g = _scale2(s, 1 / s) @ g
+    if cfg.rotate > 0:
+        theta = (jax.random.uniform(next(ki), (b,)) * 2 - 1) * \
+            math.pi * cfg.rotate_max
+        theta = theta * _bernoulli(next(ki), (b,), p_rot)
+        g = _rot2(-theta) @ g
+    if cfg.xfrac > 0:
+        t = jax.random.normal(next(ki), (b, 2)) * cfg.xfrac_std
+        t = t * _bernoulli(next(ki), (b, 1), cfg.xfrac * p)
+        g = _translate2(t[:, 0] * w, t[:, 1] * h) @ g
+
+    is_identity = cfg.xflip == cfg.rotate90 == cfg.xint == cfg.scale == \
+        cfg.rotate == cfg.aniso == cfg.xfrac == 0
+    if not is_identity:
+        # g maps input->output; warp with the inverse.
+        images = _affine_warp(images, jnp.linalg.inv(g))
+
+    # ---------------- color transforms (homogeneous 4x4) -------------------
+    cmat = jnp.broadcast_to(jnp.eye(4), (b, 4, 4))
+    v = jnp.asarray([1, 1, 1, 0], jnp.float32) / math.sqrt(3)
+
+    def cmat_translate(tvec):
+        m = jnp.broadcast_to(jnp.eye(4), (b, 4, 4)).at[:, :3, 3].set(tvec)
+        return m
+
+    if cfg.brightness > 0:
+        bb = jax.random.normal(next(ki), (b,)) * cfg.brightness_std
+        bb = bb * _bernoulli(next(ki), (b,), cfg.brightness * p)
+        cmat = cmat_translate(bb[:, None] * jnp.ones(3)) @ cmat
+    if cfg.contrast > 0:
+        cc = jnp.exp2(jax.random.normal(next(ki), (b,)) * cfg.contrast_std)
+        cc = jnp.where(_bernoulli(next(ki), (b,), cfg.contrast * p) > 0,
+                       cc, 1.0)
+        scale_diag = jnp.concatenate([jnp.tile(cc[:, None], (1, 3)),
+                                      jnp.ones((b, 1))], axis=1)
+        m = jax.vmap(jnp.diag)(scale_diag)
+        cmat = m @ cmat
+    if cfg.lumaflip > 0:
+        i = jnp.round(jax.random.uniform(next(ki), (b,)))
+        i = i * _bernoulli(next(ki), (b,), cfg.lumaflip * p)
+        house = jnp.eye(4) - 2 * jnp.outer(v, v)          # reflect about luma
+        m = jnp.where(i[:, None, None] > 0, house[None], jnp.eye(4)[None])
+        cmat = m @ cmat
+    if cfg.hue > 0:
+        theta = (jax.random.uniform(next(ki), (b,)) * 2 - 1) * \
+            math.pi * cfg.hue_max
+        theta = theta * _bernoulli(next(ki), (b,), cfg.hue * p)
+        m = _rotation_about_axis(v[:3], theta)
+        cmat = m @ cmat
+    if cfg.saturation > 0:
+        s = jnp.exp2(jax.random.normal(next(ki), (b,)) * cfg.saturation_std)
+        s = jnp.where(_bernoulli(next(ki), (b,), cfg.saturation * p) > 0,
+                      s, 1.0)
+        vv = jnp.outer(v, v)
+        m = vv[None] + (jnp.eye(4)[None] - vv[None]) * s[:, None, None]
+        cmat = m @ cmat
+
+    has_color = any([cfg.brightness, cfg.contrast, cfg.lumaflip, cfg.hue,
+                     cfg.saturation])
+    if has_color and c == 3:
+        flat = images.reshape(b, -1, 3)
+        flat = jnp.einsum("bij,bnj->bni", cmat[:, :3, :3], flat) \
+            + cmat[:, None, :3, 3]
+        images = flat.reshape(b, h, w, 3)
+
+    if cfg.imgfilter > 0:
+        raise NotImplementedError(
+            "imgfilter augmentation not yet implemented (bgcf* configs)")
+
+    # ---------------- noise + cutout ---------------------------------------
+    if cfg.noise > 0:
+        sigma = jnp.abs(jax.random.normal(next(ki), (b,))) * cfg.noise_std
+        sigma = sigma * _bernoulli(next(ki), (b,), cfg.noise * p)
+        images = images + jax.random.normal(next(ki), images.shape) * \
+            sigma[:, None, None, None]
+    if cfg.cutout > 0:
+        center = jax.random.uniform(next(ki), (b, 2))
+        apply = _bernoulli(next(ki), (b,), cfg.cutout * p)
+        ys = jnp.arange(h, dtype=jnp.float32)[None, :, None] / h
+        xs = jnp.arange(w, dtype=jnp.float32)[None, None, :] / w
+        half = cfg.cutout_size / 2
+        mask_y = jnp.abs(ys - center[:, 1, None, None]) < half
+        mask_x = jnp.abs(xs - center[:, 0, None, None]) < half
+        cut = jnp.logical_and(mask_y, mask_x).astype(jnp.float32)
+        cut = cut * apply[:, None, None]
+        images = images * (1.0 - cut)[..., None]
+
+    return images
+
+
+def _rotation_about_axis(axis, theta):
+    """[B] angles -> [B, 4, 4] homogeneous rotations about a 3-vector axis."""
+    x, y, z = axis
+    c = jnp.cos(theta)
+    s = jnp.sin(theta)
+    one_c = 1 - c
+
+    def row(a, b_, cc):
+        return jnp.stack([a, b_, cc], -1)
+
+    r = jnp.stack([
+        row(c + x * x * one_c, x * y * one_c - z * s, x * z * one_c + y * s),
+        row(y * x * one_c + z * s, c + y * y * one_c, y * z * one_c - x * s),
+        row(z * x * one_c - y * s, z * y * one_c + x * s, c + z * z * one_c),
+    ], -2)                                               # [B, 3, 3]
+    b = theta.shape[0]
+    m = jnp.broadcast_to(jnp.eye(4), (b, 4, 4))
+    return m.at[:, :3, :3].set(r)

@@ -1,0 +1,275 @@
+"""Host-side training loop: phase scheduling, data feed, ticks, snapshots.
+
+Rebuild of the reference training loop
+(thirdparty/.../training/training_loop_modified.py:50-670): the same phase
+machine -- Dmain(1), Dreg(d_reg_interval), Gmain(1), Greg(g_reg_interval),
+optional Gstitch(stitch_interval) and Ggeom(geom_interval), with a separate
+Ggeom-warm schedule during warmstart kimg -- driving jitted device steps.
+Everything numeric lives in steps.py; this loop only feeds fixed-shape numpy
+batches, applies the schedule, updates ADA p, and handles ticks (stats jsonl,
+native snapshots, optional visualizer/metrics callbacks).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from brushstroke_engine_tpu.train.state import TrainConfig, init_train_state
+from brushstroke_engine_tpu.train import steps as train_steps
+from brushstroke_engine_tpu.train.dataset import (
+    BatchIterator, style_batch_to_float, geom_batch_to_float,
+)
+from brushstroke_engine_tpu.train.stitching import RandomStitcher
+from brushstroke_engine_tpu.utils.checkpoint import EngineBundle, save_native
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class LoopHooks:
+    """Optional callbacks invoked at tick time."""
+    on_tick: Optional[Callable] = None          # (loop, stats_dict)
+    on_snapshot: Optional[Callable] = None      # (loop, snapshot_path)
+
+
+class TrainingLoop:
+    def __init__(self, cfg: TrainConfig, enc_params, enc_state,
+                 style_iter, geom_iter, run_dir: str,
+                 seed: int = 0, hooks: Optional[LoopHooks] = None,
+                 resume_state=None):
+        self.cfg = cfg
+        self.enc_params = enc_params
+        self.enc_state = enc_state
+        self.style_iter = style_iter
+        self.geom_iter = geom_iter
+        self.run_dir = run_dir
+        self.hooks = hooks or LoopHooks()
+        os.makedirs(run_dir, exist_ok=True)
+
+        key = jax.random.PRNGKey(seed)
+        self.state = resume_state if resume_state is not None else \
+            init_train_state(cfg, key)
+        self.rng = np.random.default_rng(seed)
+        self.host_key = jax.random.PRNGKey(seed + 1)
+
+        self.geom_step = train_steps.make_geom_step(cfg, warmstart=False) \
+            if cfg.geom_interval > 0 and cfg.losses("geom").items else None
+        self.warm_step = train_steps.make_geom_step(cfg, warmstart=True) \
+            if cfg.geom_warmstart_kimg > 0 else None
+        self.stitch_step = train_steps.make_stitch_step(cfg) \
+            if cfg.stitch_interval > 0 and cfg.losses("stitch").items \
+            else None
+        self.stitcher = RandomStitcher()
+
+        self.cur_nimg = 0
+        self.batch_idx = 0
+        self.cur_tick = 0
+        self.stats_path = os.path.join(run_dir, "stats.jsonl")
+        self._last_stats: Dict[str, float] = {}
+
+    # ------------------------------------------------------------------
+
+    def _next_rng(self):
+        self.host_key, sub = jax.random.split(self.host_key)
+        return sub
+
+    def _ema_beta(self) -> jnp.ndarray:
+        ema_nimg = self.cfg.ema_kimg * 1000.0
+        if self.cfg.ema_rampup is not None:
+            ema_nimg = min(ema_nimg, self.cur_nimg * self.cfg.ema_rampup)
+        return jnp.float32(0.5 ** (self.cfg.batch_size /
+                                   max(ema_nimg, 1e-8)))
+
+    def in_warmstart(self) -> bool:
+        c = self.cfg
+        start = c.geom_warmstart_start_kimg * 1000
+        return (self.cur_nimg >= start and
+                self.cur_nimg - start < c.geom_warmstart_kimg * 1000)
+
+    # ------------------------------------------------------------------
+
+    def _fetch_batch(self):
+        cfg = self.cfg
+        res = cfg.gen_cfg.img_resolution
+        style_u8 = next(self.style_iter)
+        geom_u8 = next(self.geom_iter)
+        style = style_batch_to_float(style_u8)
+        tri = geom_batch_to_float(geom_u8)            # [B, H, W, 3]
+
+        # Crop the triband image to training resolution, keeping the crop
+        # params for the stitch phase's second crop (reference :393-426).
+        h, w = tri.shape[1:3]
+        y = int(self.rng.integers(0, max(h - res, 0) + 1))
+        x = int(self.rng.integers(0, max(w - res, 0) + 1))
+        crop1 = (y, x, res, res)
+        tri_crop = tri[:, y:y + res, x:x + res]
+
+        # Triband channels: G = conditioning input, B = loss target
+        # (reference train.py:625-626; channel indices configurable upstream).
+        geom_input = tri_crop[..., 1:2]
+        geom_truth = tri_crop[..., 2:3]
+        return style, tri, crop1, geom_input, geom_truth
+
+    def run(self, total_kimg: Optional[int] = None,
+            exit_after_warmstart: bool = False):
+        cfg = self.cfg
+        total_kimg = total_kimg if total_kimg is not None else cfg.total_kimg
+        tick_start_nimg = self.cur_nimg
+        tick_start_time = time.time()
+
+        while True:
+            warm = self.in_warmstart()
+            style, tri_full, crop1, geom_input, geom_truth = \
+                self._fetch_batch()
+            feats = train_steps.encode_geometry(
+                cfg, self.enc_params, self.enc_state, jnp.asarray(geom_input))
+            geom_truth_j = jnp.asarray(geom_truth)
+            stats: Dict[str, float] = {}
+
+            def note(s):
+                for k, v in s.items():
+                    stats[k] = float(v)
+
+            ema_beta = self._ema_beta()
+
+            if warm:
+                z = jnp.asarray(self.rng.standard_normal(
+                    (cfg.batch_size, cfg.gen_cfg.z_dim)), jnp.float32)
+                self.state, s = self.warm_step(
+                    self.state, feats, geom_truth_j, z, self._next_rng(),
+                    ema_beta)
+                note(s)
+            else:
+                # Dmain
+                z = jnp.asarray(self.rng.standard_normal(
+                    (cfg.batch_size, cfg.gen_cfg.z_dim)), jnp.float32)
+                self.state, s = train_steps.d_main_step(
+                    cfg, self.state, jnp.asarray(style), feats, z,
+                    self._next_rng())
+                note(s)
+                # Dreg
+                if cfg.d_reg_interval > 0 and \
+                        self.batch_idx % cfg.d_reg_interval == 0:
+                    self.state, s = train_steps.d_reg_step(
+                        cfg, self.state, jnp.asarray(style),
+                        self._next_rng())
+                    note(s)
+                # Gmain
+                z = jnp.asarray(self.rng.standard_normal(
+                    (cfg.batch_size, cfg.gen_cfg.z_dim)), jnp.float32)
+                self.state, s = train_steps.g_main_step(
+                    cfg, self.state, feats, geom_truth_j, z,
+                    self._next_rng(), ema_beta)
+                note(s)
+                # Greg (path length)
+                if cfg.g_reg_interval > 0 and \
+                        self.batch_idx % cfg.g_reg_interval == 0:
+                    z = jnp.asarray(self.rng.standard_normal(
+                        (cfg.batch_size, cfg.gen_cfg.z_dim)), jnp.float32)
+                    self.state, s = train_steps.g_reg_step(
+                        cfg, self.state, feats, z, self._next_rng(),
+                        ema_beta)
+                    note(s)
+                # Gstitch
+                if self.stitch_step is not None and \
+                        self.batch_idx % cfg.stitch_interval == 0:
+                    crop2 = self.stitcher.gen_overlapping_square_crop(
+                        tri_full.shape[1], crop1)
+                    g2 = tri_full[:, crop2[0]:crop2[0] + crop2[2],
+                                  crop2[1]:crop2[1] + crop2[3], 1:2]
+                    feats2 = train_steps.encode_geometry(
+                        cfg, self.enc_params, self.enc_state,
+                        jnp.asarray(g2))
+                    z = jnp.asarray(self.rng.standard_normal(
+                        (cfg.batch_size, cfg.gen_cfg.z_dim)), jnp.float32)
+                    self.state, s = self.stitch_step(
+                        self.state, feats, feats2, z,
+                        jnp.asarray(crop1), jnp.asarray(crop2),
+                        self._next_rng(), ema_beta)
+                    note(s)
+                # Ggeom
+                if self.geom_step is not None and \
+                        self.batch_idx % cfg.geom_interval == 0:
+                    z = jnp.asarray(self.rng.standard_normal(
+                        (cfg.batch_size, cfg.gen_cfg.z_dim)), jnp.float32)
+                    self.state, s = self.geom_step(
+                        self.state, feats, geom_truth_j, z,
+                        self._next_rng(), ema_beta)
+                    note(s)
+                # ADA p adjustment.
+                if cfg.augment is not None and \
+                        self.batch_idx % cfg.ada_interval == 0 and \
+                        self.batch_idx > 0:
+                    self.state = train_steps.ada_update(
+                        cfg, self.state,
+                        jnp.float32(cfg.batch_size * cfg.ada_interval))
+
+            self.cur_nimg += cfg.batch_size
+            self.batch_idx += 1
+            self._last_stats = stats
+
+            finishing_warm = warm and not self.in_warmstart()
+            done = self.cur_nimg >= total_kimg * 1000 or \
+                (finishing_warm and exit_after_warmstart)
+            if not done and self.cur_nimg < tick_start_nimg + \
+                    cfg.kimg_per_tick * 1000:
+                continue
+
+            # ---- tick maintenance ----
+            tick_time = time.time() - tick_start_time
+            stats["Progress/tick"] = self.cur_tick
+            stats["Progress/kimg"] = self.cur_nimg / 1e3
+            stats["Progress/ada_p"] = float(self.state["ada_p"])
+            stats["Timing/sec_per_tick"] = tick_time
+            stats["Timing/sec_per_kimg"] = tick_time / max(
+                (self.cur_nimg - tick_start_nimg) / 1000.0, 1e-8)
+            with open(self.stats_path, "a") as f:
+                f.write(json.dumps(stats) + "\n")
+            logger.info("tick %d kimg %.1f %s", self.cur_tick,
+                        self.cur_nimg / 1e3,
+                        {k: round(v, 4) for k, v in list(stats.items())[:6]})
+            if self.hooks.on_tick is not None:
+                self.hooks.on_tick(self, stats)
+
+            snap_path = self.save_snapshot()
+            if self.hooks.on_snapshot is not None:
+                self.hooks.on_snapshot(self, snap_path)
+
+            self.cur_tick += 1
+            tick_start_nimg = self.cur_nimg
+            tick_start_time = time.time()
+            if done:
+                return self.state
+
+    # ------------------------------------------------------------------
+
+    def save_snapshot(self) -> str:
+        """Self-contained engine bundle of G_ema + the geometry encoder
+        (mirrors the reference's embedded-encoder snapshots,
+        training_loop_modified.py:560-578)."""
+        path = os.path.join(
+            self.run_dir,
+            f"network-snapshot-{self.cur_nimg // 1000:06d}.pkl")
+        bundle = EngineBundle(
+            gen_cfg=self.cfg.gen_cfg,
+            gen_params=self.state["g_ema"],
+            gen_state={"w_avg": self.state["w_avg"],
+                       "noise": self.state["noise"]},
+            enc_cfg=self.cfg.enc_cfg,
+            enc_params=self.enc_params,
+            enc_state=self.enc_state,
+            color_format=self.cfg.gen_cfg.synthesis.color_format,
+            geom_inject_resolutions=self.cfg.enc_res,
+            extra={"cur_nimg": self.cur_nimg},
+        )
+        save_native(path, bundle)
+        return path

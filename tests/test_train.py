@@ -1,0 +1,377 @@
+"""Tests for the training layer: loss DSL, augment, phases, short loop."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from brushstroke_engine_tpu.train.losses import (
+    ForgerLosses, split_loss_string, compute_iou, compute_dice, triband_mask,
+)
+from brushstroke_engine_tpu.train.augment import AugmentConfig, augment_pipe
+from brushstroke_engine_tpu.train.state import TrainConfig, init_train_state
+from brushstroke_engine_tpu.train import steps as train_steps
+from brushstroke_engine_tpu.train.dataset import (
+    SyntheticGeometryDataset, BatchIterator, infinite_indices,
+)
+from brushstroke_engine_tpu.train.stitching import (
+    RandomStitcher, translate_image, composite_shifted,
+)
+from brushstroke_engine_tpu.models.discriminator import DiscriminatorConfig
+from tests.helpers import small_bundle
+
+KEY = jax.random.PRNGKey(0)
+
+
+def make_train_cfg(**kw):
+    b = small_bundle()
+    defaults = dict(
+        gen_cfg=b.gen_cfg,
+        disc_cfg=DiscriminatorConfig(c_dim=0, img_resolution=32,
+                                     img_channels=3, channel_base=2048,
+                                     channel_max=32),
+        enc_cfg=b.enc_cfg, enc_res=(0,), batch_size=4,
+    )
+    defaults.update(kw)
+    return TrainConfig(**defaults), b
+
+
+def fake_debug_data(batch=2, res=16, seed=0):
+    rng = np.random.RandomState(seed)
+    logits = rng.randn(batch, res, res, 3).astype(np.float32)
+    uvs = np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+    return {
+        "uvs": jnp.asarray(uvs),
+        "colors": jnp.asarray(np.tanh(rng.randn(batch, 3, 3))
+                              .astype(np.float32)),
+        "canvas": jnp.asarray(rng.randn(batch, res, res, 3)
+                              .astype(np.float32)),
+        "alpha": jnp.asarray(uvs[..., :2] / uvs[..., :2].sum(-1,
+                                                             keepdims=True)),
+        "fake_img": jnp.asarray(rng.randn(batch, res, res, 3)
+                                .astype(np.float32)),
+    }
+
+
+class TestLossDSL:
+    def test_parse_canonical_strings(self):
+        # The shipped configs (train_flags.txt:10-11, finetune_flags.txt:1).
+        for s in ["1.0*iou_inv(uvs)+1.0*iou(u)",
+                  "1.0*iou_inv(uvs)",
+                  "0.5*iou_inv(uvs)+0.5*lpips(fake_orig)+0.5*l1(fake_orig)"]:
+            fl = ForgerLosses.create_from_string(s)
+            assert not fl.is_empty()
+
+    def test_split_with_args(self):
+        w, name, comp, args = split_loss_string(
+            "0.25*rgb(color_0,r=0.1,g=0.2,b=0.3)")
+        assert w == 0.25 and name == "rgb" and comp == "color_0"
+        assert args == {"r": "0.1", "g": "0.2", "b": "0.3"}
+
+    def test_default_weight(self):
+        w, name, comp, args = split_loss_string("iou(u)")
+        assert w == 1.0
+
+    def test_duplicate_rejected(self):
+        with pytest.raises(ValueError):
+            ForgerLosses.create_from_string("iou(u)+iou(u)")
+
+    def test_unknown_loss_rejected(self):
+        with pytest.raises(ValueError):
+            ForgerLosses.create_from_string("bogus(uvs)")
+
+    def test_compute_geometry_losses(self):
+        fl = ForgerLosses.create_from_string(
+            "1.0*iou_inv(uvs)+1.0*iou(u)+0.5*dice(uvs)+0.1*bce(uvs)"
+            "+0.2*bgl2(uvs)+0.2*bgstd(uvs)+0.3*fgl4gt(uvs)+0.1*l1(u)")
+        dd = fake_debug_data()
+        truth = jnp.asarray((np.random.RandomState(1).rand(2, 16, 16, 1)
+                             > 0.5).astype(np.float32))
+        total, items = fl.compute(dd, truth, rng=KEY)
+        assert np.isfinite(float(total))
+        assert len(items) == 8
+
+    def test_triband_partial(self):
+        fl = ForgerLosses.create_from_string("1.0*iou_inv(uvs)")
+        fl.set_partial_loss_with_triband_input(True)
+        dd = fake_debug_data()
+        tri = np.full((2, 16, 16, 1), 0.5, np.float32)  # all gray = ignored
+        tri[:, :4] = 1.0
+        total, _ = fl.compute(dd, jnp.asarray(tri))
+        assert np.isfinite(float(total))
+
+    def test_require_original_fake(self):
+        fl = ForgerLosses.create_from_string("0.5*lpips(fake_orig)")
+        assert fl.require_original_fake_image()
+
+    def test_iou_dice_perfect_match(self):
+        src = jnp.asarray((np.random.RandomState(0).rand(2, 8, 8) > 0.5)
+                          .astype(np.float32))
+        assert float(compute_iou(src, src)) < 1e-5
+        assert float(compute_dice(src, src)) < 1e-5
+
+    def test_rgb_loss(self):
+        fl = ForgerLosses.create_from_string("1.0*rgb(color_0,r=1,g=0,b=0)")
+        dd = fake_debug_data()
+        total, _ = fl.compute(dd, None)
+        assert float(total) > 0
+
+    def test_gan_loss_component(self):
+        fl = ForgerLosses.create_from_string("1.0*gan(fake_composite)")
+        dd = {"fake_composite_logits": jnp.asarray([[2.0], [-1.0]])}
+        total, _ = fl.compute(dd, None)
+        want = np.mean(np.log1p(np.exp(-np.array([2.0, -1.0]))))
+        np.testing.assert_allclose(float(total), want, rtol=1e-5)
+
+
+class TestAugment:
+    def test_identity_at_p_zero(self):
+        cfg = AugmentConfig.from_spec("bgc")
+        x = jax.random.normal(KEY, (2, 16, 16, 3))
+        y = augment_pipe(cfg, jax.random.PRNGKey(1), x, jnp.float32(0.0))
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-4)
+
+    def test_transforms_at_p_one(self):
+        cfg = AugmentConfig.from_spec("bgc")
+        x = jax.random.normal(KEY, (4, 16, 16, 3))
+        y = augment_pipe(cfg, jax.random.PRNGKey(1), x, jnp.float32(1.0))
+        assert y.shape == x.shape
+        assert not np.allclose(np.asarray(y), np.asarray(x))
+        assert np.all(np.isfinite(np.asarray(y)))
+
+    def test_jit_with_traced_p(self):
+        cfg = AugmentConfig.from_spec("bgcnc")
+
+        @jax.jit
+        def run(x, p):
+            return augment_pipe(cfg, jax.random.PRNGKey(0), x, p)
+
+        x = jax.random.normal(KEY, (2, 16, 16, 3))
+        y0 = run(x, jnp.float32(0.3))
+        y1 = run(x, jnp.float32(0.9))  # no recompile needed (same shape)
+        assert y0.shape == y1.shape
+
+
+class TestPhases:
+    def test_full_phase_cycle_updates_params(self):
+        cfg, b = make_train_cfg(main_phase_losses="0.1*iou_inv(uvs)",
+                                augment=AugmentConfig.from_spec("bgc"))
+        state = init_train_state(cfg, KEY, g_params=b.gen_params,
+                                 g_state=b.gen_state)
+        g_before = jax.tree_util.tree_leaves(state["g_params"])[0].copy()
+        d_before = jax.tree_util.tree_leaves(state["d_params"])[0].copy()
+
+        geom = jnp.asarray(
+            (np.random.RandomState(0).rand(4, 32, 32, 1) > 0.5)
+            .astype(np.float32))
+        feats = train_steps.encode_geometry(cfg, b.enc_params, b.enc_state,
+                                            geom)
+        real = jax.random.normal(KEY, (4, 32, 32, 3))
+        z = jax.random.normal(KEY, (4, cfg.gen_cfg.z_dim))
+        beta = jnp.float32(0.99)
+
+        state, _ = train_steps.d_main_step(cfg, state, real, feats, z,
+                                           jax.random.PRNGKey(1))
+        state, _ = train_steps.g_main_step(cfg, state, feats, geom, z,
+                                           jax.random.PRNGKey(2), beta)
+        g_after = jax.tree_util.tree_leaves(state["g_params"])[0]
+        d_after = jax.tree_util.tree_leaves(state["d_params"])[0]
+        assert not np.allclose(np.asarray(g_before), np.asarray(g_after))
+        assert not np.allclose(np.asarray(d_before), np.asarray(d_after))
+
+    def test_geom_step_respects_mask(self):
+        cfg, b = make_train_cfg(geom_warmstart_mode="last_and_rgb")
+        state = init_train_state(cfg, KEY, g_params=b.gen_params,
+                                 g_state=b.gen_state)
+        geom = jnp.ones((4, 32, 32, 1))
+        feats = train_steps.encode_geometry(cfg, b.enc_params, b.enc_state,
+                                            geom)
+        z = jax.random.normal(KEY, (4, cfg.gen_cfg.z_dim))
+        warm = train_steps.make_geom_step(cfg, warmstart=True)
+        before_map = np.asarray(
+            state["g_params"]["mapping"]["fc0"]["weight"])
+        before_last = np.asarray(
+            state["g_params"]["synthesis"]["b32"]["conv1"]["weight"])
+        state, _ = warm(state, feats, geom, z, jax.random.PRNGKey(1),
+                        jnp.float32(0.5))
+        after_map = np.asarray(state["g_params"]["mapping"]["fc0"]["weight"])
+        after_last = np.asarray(
+            state["g_params"]["synthesis"]["b32"]["conv1"]["weight"])
+        np.testing.assert_array_equal(before_map, after_map)  # frozen
+        assert not np.allclose(before_last, after_last)       # trainable
+
+    def test_pl_mean_updates(self):
+        cfg, b = make_train_cfg()
+        state = init_train_state(cfg, KEY, g_params=b.gen_params,
+                                 g_state=b.gen_state)
+        geom = jnp.ones((4, 32, 32, 1))
+        feats = train_steps.encode_geometry(cfg, b.enc_params, b.enc_state,
+                                            geom)
+        z = jax.random.normal(KEY, (4, cfg.gen_cfg.z_dim))
+        assert float(state["pl_mean"]) == 0.0
+        state, _ = train_steps.g_reg_step(cfg, state, feats, z,
+                                          jax.random.PRNGKey(1),
+                                          jnp.float32(0.5))
+        assert float(state["pl_mean"]) != 0.0
+
+    def test_ada_update_moves_p(self):
+        cfg, b = make_train_cfg(augment=AugmentConfig.from_spec("bgc"))
+        state = init_train_state(cfg, KEY, g_params=b.gen_params,
+                                 g_state=b.gen_state)
+        state = dict(state, ada_signs=jnp.float32(10.0),
+                     ada_count=jnp.float32(10.0))  # overfit signal
+        state = train_steps.ada_update(cfg, state, jnp.float32(1000.0))
+        assert float(state["ada_p"]) > 0
+
+
+class TestStitching:
+    def test_translate_image(self):
+        img = jnp.asarray(
+            np.arange(16, dtype=np.float32).reshape(1, 4, 4, 1))
+        out = np.asarray(translate_image(img, jnp.asarray(1),
+                                         jnp.asarray(0)))[0, :, :, 0]
+        src = np.arange(16, dtype=np.float32).reshape(4, 4)
+        assert (out[0] == 0).all()
+        np.testing.assert_allclose(out[1:], src[:3])
+
+    def test_generate_with_stitching_consistency(self):
+        """The same canvas region rendered in two overlapping crops must
+        agree where const noise + positions make them consistent: check the
+        patches have the right shapes and composites are finite."""
+        b = small_bundle()
+        st = RandomStitcher(crop_margin=2, min_overlap=8)
+        z = jax.random.normal(KEY, (2, b.gen_cfg.z_dim))
+        geom = jnp.ones((2, 32, 32, 1))
+        from brushstroke_engine_tpu.models.geo_encoder import \
+            geo_encoder_encode
+        feats = geo_encoder_encode(b.enc_cfg, b.enc_params, b.enc_state,
+                                   geom, res=[0])
+        res = st.generate_with_stitching(
+            b.gen_cfg, b.gen_params,
+            {"w_avg": jnp.zeros(16), "noise": b.gen_state["noise"]},
+            z, feats, feats, (0, 0, 32, 32), (10, 6, 32, 32),
+            jax.random.PRNGKey(5))
+        assert res["patch1"].shape == (2, 8, 8, 3)
+        assert res["patch2"].shape == (2, 8, 8, 3)
+        for k in ("fake1_composite", "fake2_composite"):
+            assert np.all(np.isfinite(np.asarray(res[k])))
+        # Same geometry + same style + aligned positions: the aligned overlap
+        # patches should be closer to each other than to random pairing.
+        p1 = np.asarray(res["patch1"])
+        p2 = np.asarray(res["patch2"])
+        aligned = np.abs(p1 - p2).mean()
+        scrambled = np.abs(p1 - p2[:, ::-1, ::-1]).mean()
+        assert aligned <= scrambled * 1.5
+
+
+class TestDataset:
+    def test_synthetic_geometry(self):
+        ds = SyntheticGeometryDataset(64, size=8)
+        tri = ds[0]
+        assert tri.shape == (64, 64, 3)
+        assert tri.dtype == np.uint8
+        # Triband: binary channel has strokes (some dark pixels).
+        assert tri[..., 1].min() < 128
+
+    def test_infinite_indices_sharded(self):
+        it0 = infinite_indices(10, seed=3, rank=0, num_ranks=2)
+        it1 = infinite_indices(10, seed=3, rank=1, num_ranks=2)
+        a = [next(it0) for _ in range(10)]
+        c = [next(it1) for _ in range(10)]
+        assert all(0 <= x < 10 for x in a + c)
+
+    def test_batch_iterator(self):
+        ds = SyntheticGeometryDataset(32, size=8)
+        it = BatchIterator(ds, batch_size=4)
+        batch = next(it)
+        assert batch.shape == (4, 32, 32, 3)
+
+
+class TestShortLoop:
+    def test_two_tick_loop(self, tmp_path):
+        from brushstroke_engine_tpu.train.loop import TrainingLoop
+
+        cfg, b = make_train_cfg(
+            batch_size=2,
+            main_phase_losses="0.1*iou_inv(uvs)",
+            geom_phase_losses="1.0*iou_inv(uvs)",
+            geom_warmstart_losses="1.0*iou_inv(uvs)+1.0*iou(u)",
+            geom_warmstart_kimg=0,  # skip warmstart for speed here
+            geom_interval=2,
+            g_reg_interval=2, d_reg_interval=2,
+            augment=AugmentConfig.from_spec("bgc"),
+            kimg_per_tick=0,  # tick every batch
+        )
+
+        class StyleIter:
+            def __iter__(self):
+                return self
+
+            def __next__(self):
+                return (np.random.RandomState(0).rand(2, 32, 32, 3)
+                        * 255).astype(np.uint8)
+
+        geo_ds = SyntheticGeometryDataset(40, size=4)
+
+        class GeomIter:
+            def __init__(self):
+                self.i = 0
+
+            def __next__(self):
+                self.i += 1
+                return np.stack([geo_ds[self.i % 4], geo_ds[(self.i + 1) % 4]])
+
+        loop = TrainingLoop(cfg, b.enc_params, b.enc_state, StyleIter(),
+                            GeomIter(), run_dir=str(tmp_path))
+        loop.run(total_kimg=6 / 1000.0)
+        assert loop.cur_nimg >= 6
+        assert os.path.exists(loop.stats_path)
+        snaps = [f for f in os.listdir(tmp_path) if f.startswith("network")]
+        assert len(snaps) >= 1
+        # Snapshot round-trips into a working paint engine.
+        from brushstroke_engine_tpu.engine.brush import (
+            PaintEngineFactory, GanBrushOptions,
+        )
+        eng = PaintEngineFactory.create(os.path.join(str(tmp_path),
+                                                     snaps[-1]))
+        opts = GanBrushOptions()
+        opts.set_style(eng.random_style(0), 0)
+        patch = np.zeros((eng.patch_width, eng.patch_width, 4), np.uint8)
+        patch[8:20, 8:20, 3] = 255
+        img, _ = eng.render_stroke(patch, None, opts)
+        assert img.shape == (32, 32, 4)
+
+    def test_warmstart_schedule(self, tmp_path):
+        from brushstroke_engine_tpu.train.loop import TrainingLoop
+
+        cfg, b = make_train_cfg(
+            batch_size=2,
+            geom_warmstart_kimg=4 / 1000.0,
+            geom_warmstart_losses="1.0*iou_inv(uvs)",
+            kimg_per_tick=0,
+        )
+
+        class StyleIter:
+            def __next__(self):
+                return (np.random.RandomState(0).rand(2, 32, 32, 3)
+                        * 255).astype(np.uint8)
+
+        geo_ds = SyntheticGeometryDataset(40, size=4)
+
+        class GeomIter:
+            def __init__(self):
+                self.i = 0
+
+            def __next__(self):
+                self.i += 1
+                return np.stack([geo_ds[self.i % 4],
+                                 geo_ds[(self.i + 1) % 4]])
+
+        loop = TrainingLoop(cfg, b.enc_params, b.enc_state, StyleIter(),
+                            GeomIter(), run_dir=str(tmp_path))
+        assert loop.in_warmstart()
+        loop.run(total_kimg=4 / 1000.0, exit_after_warmstart=True)
+        assert not loop.in_warmstart()
