@@ -121,6 +121,11 @@ def init_train_state(cfg: TrainConfig, key, g_params=None, g_state=None):
     k_g, k_d = jax.random.split(key)
     if g_params is None:
         g_params, g_state = generator_init(cfg.gen_cfg, k_g)
+    else:
+        # Copy caller-provided trees: phase steps donate the state buffers,
+        # which must not invalidate the caller's arrays.
+        g_params = jax.tree_util.tree_map(jnp.array, g_params)
+        g_state = jax.tree_util.tree_map(jnp.array, g_state)
     d_params = discriminator_init(cfg.disc_cfg, k_d)
     g_opt, d_opt, geom_opt = make_optimizers(cfg)
     state = {

@@ -1,0 +1,87 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from brushstroke_engine_tpu.parallel.mesh import (
+    make_mesh, shard_batch, replicate, make_dp_train_step,
+)
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_sharded_batch_layout():
+    mesh = make_mesh()
+    x = jnp.zeros((16, 4))
+    xs = shard_batch(mesh, x)
+    assert xs.sharding.num_devices == 8
+
+
+def test_dp_step_matches_single_device():
+    """The fused DP step over 8 chips must produce the same loss stats as
+    the plain single-device phase steps on the same full batch."""
+    from tests.helpers import small_bundle
+    from brushstroke_engine_tpu.train.state import TrainConfig, \
+        init_train_state
+    from brushstroke_engine_tpu.train import steps as ts
+    from brushstroke_engine_tpu.models.discriminator import \
+        DiscriminatorConfig
+
+    b = small_bundle()
+    cfg = TrainConfig(
+        gen_cfg=b.gen_cfg,
+        disc_cfg=DiscriminatorConfig(c_dim=0, img_resolution=32,
+                                     img_channels=3, channel_base=2048,
+                                     channel_max=32),
+        enc_cfg=b.enc_cfg, enc_res=(0,), batch_size=8,
+        g_reg_interval=1, d_reg_interval=1,
+        main_phase_losses="0.1*iou_inv(uvs)",
+        style_mixing_prob=0.0)
+
+    key = jax.random.PRNGKey(0)
+    rng = np.random.RandomState(0)
+    real = jnp.asarray(rng.randn(8, 32, 32, 3), jnp.float32)
+    geom = jnp.asarray((rng.rand(8, 32, 32, 1) > 0.5), jnp.float32)
+    z1 = jnp.asarray(rng.randn(8, 16), jnp.float32)
+    z2 = jnp.asarray(rng.randn(8, 16), jnp.float32)
+
+    # Single-device run.
+    state1 = init_train_state(cfg, key, g_params=b.gen_params,
+                              g_state=b.gen_state)
+    k = jax.random.PRNGKey(1)
+    k1, k2, k3, k4 = jax.random.split(k, 4)
+    feats = ts.encode_geometry(cfg, b.enc_params, b.enc_state, geom)
+    state1, d_stats = ts.d_main_step(cfg, state1, real, feats, z1, k1)
+
+    # DP run over the mesh.
+    mesh = make_mesh()
+    state2 = init_train_state(cfg, key, g_params=b.gen_params,
+                              g_state=b.gen_state)
+    state2 = replicate(mesh, state2)
+    enc_p = replicate(mesh, b.enc_params)
+    enc_s = replicate(mesh, b.enc_state)
+    batch = shard_batch(mesh, {"real": real, "geom": geom,
+                               "z1": z1, "z2": z2})
+    step = make_dp_train_step(cfg, mesh)
+    state2, stats = step(state2, enc_p, enc_s, batch["real"], batch["geom"],
+                         batch["z1"], batch["z2"], jax.random.PRNGKey(1),
+                         jnp.int32(0), jnp.float32(0.99))
+
+    # D-main loss stats agree between sharded and unsharded execution (the
+    # same rng key folding path is used inside).
+    np.testing.assert_allclose(float(stats["Loss/D/loss"]),
+                               float(d_stats["Loss/D/loss"]),
+                               rtol=1e-3, atol=1e-3)
+    # Params remain replicated and finite after the full fused step.
+    leaf = jax.tree_util.tree_leaves(state2["g_params"])[0]
+    assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_graft_dryrun():
+    from __graft_entry__ import dryrun_multichip
+    dryrun_multichip(8)
