@@ -229,6 +229,18 @@ class PaintingHelper:
     # ----- stroke rendering -----
 
     def render_stroke(self, stroke_patch, canvas_patch, opts, meta=None):
+        if not hasattr(self.engine, "_render_stroke_jax"):
+            # Mock/simple engines implement render_stroke directly.
+            if canvas_patch is None:
+                canvas_patch = np.zeros(stroke_patch.shape, np.uint8)
+            img, debug, _ = self.engine.render_stroke(stroke_patch,
+                                                      canvas_patch, opts)
+            out_meta = {"x": 0, "y": 0}
+            if meta is not None:
+                out_meta = {"x": int(meta.get("x", 0)),
+                            "y": int(meta.get("y", 0))}
+            return img, debug, out_meta
+
         h, w, _ = stroke_patch.shape
         dirty_area = None
         gen_area = areas.make_area(0, 0, h, w)

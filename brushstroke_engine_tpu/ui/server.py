@@ -1,0 +1,294 @@
+"""Interactive drawing server: HTTP + binary websocket on tornado.
+
+Rebuild of the reference server (forger/ui/run.py:58-188 Flask+Tornado and
+forger/ui/util.py:107-245 websocket handler) on tornado alone (the image has
+no Flask).  Routes and the wire protocol match the reference:
+
+  GET /                      drawing UI page (brush libraries in sidebar)
+  GET /brush/<lib>/<name>.jpg brush icon JPEG
+  WS  /websocket/            binary render requests + JSON control messages
+
+JSON control messages: set_brush, save_brush, set_option(positions,
+uvs_mapping), set_render_mode, new_canvas (reference util.py:216-242).
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import logging
+import os
+import random
+import re
+
+import numpy as np
+import tornado.ioloop
+import tornado.web
+import tornado.websocket
+
+from brushstroke_engine_tpu.engine.brush import PaintEngineFactory
+from brushstroke_engine_tpu.engine.canvas import PaintingHelper
+from brushstroke_engine_tpu.engine.library import BrushLibrary
+from brushstroke_engine_tpu.ui import protocol
+
+logger = logging.getLogger(__name__)
+
+_STATIC_DIR = os.path.join(os.path.dirname(__file__), "static")
+_TEMPLATE_DIR = os.path.join(os.path.dirname(__file__), "templates")
+
+
+def generate_z_file(gan_checkpoint):
+    if gan_checkpoint is None:
+        return "/tmp/brushstroke_saved_zs.txt"
+    return gan_checkpoint + ".saved_zs.txt"
+
+
+class DrawingWebSocketHandler(tornado.websocket.WebSocketHandler):
+    """Per-connection painting session (reference util.py:107-245)."""
+
+    def initialize(self, paint_engine, style_seed, debug_dir,
+                   saved_zs_filename=None, libraries=None):
+        self.helper = PaintingHelper(paint_engine, style_seed=style_seed,
+                                     debug_dir=debug_dir)
+        self.zs_file = saved_zs_filename
+        self.libraries = libraries or {}
+        self.use_positions = False
+        self.uvs_mapping = False
+
+    def open(self):
+        logger.debug("Socket opened.")
+        self.write_message({
+            "type": "modelinfo",
+            "data": {"patch_width": self.helper.engine.patch_width}},
+            binary=False)
+        self.send_current_brush_info()
+
+    def send_current_brush_info(self):
+        opts = self.helper.brush_options
+        colors = ""
+        mapper = getattr(self.helper.engine, "uvs_mapper", None)
+        if mapper is not None:
+            try:
+                colors = mapper.get_colors(opts)
+            except Exception as e:
+                logger.warning(f"color info failed: {e}")
+        self.write_message({
+            "type": "brushinfo",
+            "data": {"style_id": str(opts.style_id),
+                     "library_id": str(opts.library_id),
+                     "colors": colors}},
+            binary=False)
+
+    def save_current_brush(self):
+        opts = self.helper.brush_options
+        if self.zs_file is None or opts.style_id is None \
+                or opts.style_z is None:
+            return
+        try:
+            with open(self.zs_file, "a") as f:
+                f.write(("%d " % int(opts.style_id)) + " ".join(
+                    "%f" % x for x in np.asarray(opts.style_z)[0].tolist())
+                    + "\n")
+        except (RuntimeError, ValueError):
+            logger.warning("Failed to save z")
+
+    def on_message(self, message):
+        try:
+            if isinstance(message, bytes):
+                self._handle_binary_request(message)
+            else:
+                self._handle_json_request(message)
+        except Exception as e:
+            logger.exception(f"Failed to handle incoming message: {e}")
+
+    def _handle_binary_request(self, raw):
+        meta, offset = protocol.decode_render_request_metadata(raw)
+        patch_meta, img_stroke, img_canvas = \
+            protocol.binary_to_image_patches(raw, offset)
+        meta.update(patch_meta)
+        self._handle_image_request(meta, img_stroke, img_canvas)
+
+    def _handle_image_request(self, meta, bg_img, fg_img):
+        opts = self.helper.default_brush_options()
+        for colorinfo in meta["colors"]:
+            opts.set_color(int(colorinfo[0]), np.asarray(colorinfo[1:],
+                                                         np.uint8))
+        opts.debug = meta["debug"]
+        if self.use_positions:
+            opts.set_position(int(meta["x"]), int(meta["y"]))
+        else:
+            opts.position = None
+        opts.enable_uvs_mapping = self.uvs_mapping
+
+        res_img, debug_img, meta_out = self.helper.render_stroke(
+            bg_img, fg_img, opts, meta)
+        head = protocol.int32_to_binary(meta["extra_data"] or 0)
+        self.write_message(head + protocol.image_patch_to_binary(
+            res_img, meta_out["x"], meta_out["y"]), binary=True)
+        if debug_img is not None:
+            self.write_message(
+                protocol.int32_to_binary(1)
+                + protocol.image_patch_to_binary(debug_img, 0, 0),
+                binary=True)
+
+    def _handle_json_request(self, raw):
+        msg = json.loads(raw)
+        mtype = msg.get("type")
+        if mtype == "set_brush":
+            if msg.get("style_id") and msg.get("library_id"):
+                lib_id = msg.get("library_id")
+                style_id = msg.get("style_id")
+                if lib_id in self.libraries and \
+                        style_id in self.libraries[lib_id].get_style_ids():
+                    self.libraries[lib_id].set_style(
+                        style_id, self.helper.brush_options)
+                    self.helper.brush_options.library_id = lib_id
+            else:
+                self.helper.set_new_brush(msg.get("seed"))
+            self.send_current_brush_info()
+        elif mtype == "save_brush":
+            self.save_current_brush()
+        elif mtype == "set_option":
+            if msg.get("option") == "positions":
+                self.use_positions = bool(msg.get("value"))
+            elif msg.get("option") == "uvs_mapping":
+                self.uvs_mapping = bool(msg.get("value"))
+        elif mtype == "set_render_mode":
+            self.helper.set_render_mode(msg.get("mode"))
+        elif mtype == "new_canvas":
+            self.helper.make_new_canvas(
+                int(msg.get("rows")), int(msg.get("cols")),
+                feature_blending=int(msg.get("feature_blending", 0)))
+        else:
+            logger.warning(f"Unknown json message type {mtype}")
+
+    def on_close(self):
+        logger.info("Socket closed.")
+
+
+class IndexHandler(tornado.web.RequestHandler):
+    def initialize(self, engine, libraries, library_specs):
+        self.engine = engine
+        self.libraries = libraries
+        self.library_specs = library_specs
+
+    def get(self):
+        library_infos = {}
+        for spec_name, spec_mode, _path in self.library_specs:
+            lib = self.libraries[spec_name]
+            brushes = list(lib.get_style_ids())
+            m = re.match(r"rand(\d+)", spec_mode)
+            if m is not None:
+                random.shuffle(brushes)
+                brushes = brushes[:int(m.group(1))]
+            library_infos[spec_name] = {"brushes": brushes}
+        self.render(os.path.join(_TEMPLATE_DIR, "home.html"),
+                    subtitle=self.engine.summary(),
+                    canvas_width=int(self.get_argument("canvas", 2000)),
+                    demo=(self.get_argument("demo", None) is not None),
+                    library_infos=library_infos)
+
+
+class BrushIconHandler(tornado.web.RequestHandler):
+    def initialize(self, libraries):
+        self.libraries = libraries
+
+    def get(self, library_name, brush_name):
+        import PIL.Image
+        if library_name in self.libraries:
+            image = self.libraries[library_name].get_style_icon(brush_name)
+        else:
+            image = None
+        if image is None:
+            image = np.zeros((128, 128, 3), dtype=np.uint8)
+        img = PIL.Image.fromarray(image)
+        if img.mode == "RGBA":
+            img = img.convert("RGB")
+        buf = io.BytesIO()
+        img.save(buf, format="JPEG")
+        self.set_header("Content-Type", "image/jpeg")
+        self.write(buf.getvalue())
+
+
+def create_server(encoder_checkpoint, gan_checkpoint, debug_dir=None,
+                  style_seed=None, enable_z_saving=False,
+                  library_specs=None):
+    engine = PaintEngineFactory.create(gan_checkpoint,
+                                       encoder_checkpoint=encoder_checkpoint)
+    z_file = generate_z_file(gan_checkpoint)
+    library_specs = library_specs or []
+
+    libraries = {}
+    z_dim = getattr(getattr(engine, "gen_cfg", None), "z_dim", 64)
+    for spec_name, _spec_mode, spec_path in library_specs:
+        if spec_path == "default":
+            spec_path = z_file
+        lib = BrushLibrary.from_file(spec_path, z_dim=z_dim)
+        mapper = getattr(engine, "uvs_mapper", None)
+        if mapper is not None:
+            lib.enable_dynamic_icons(mapper)
+        libraries[spec_name] = lib
+
+    app = tornado.web.Application([
+        (r"/websocket/", DrawingWebSocketHandler,
+         dict(paint_engine=engine, style_seed=style_seed,
+              debug_dir=debug_dir,
+              saved_zs_filename=(z_file if enable_z_saving else None),
+              libraries=libraries)),
+        (r"/brush/([^/]+)/([^/]+)\.jpg", BrushIconHandler,
+         dict(libraries=libraries)),
+        (r"/static/(.*)", tornado.web.StaticFileHandler,
+         dict(path=_STATIC_DIR)),
+        (r"/", IndexHandler,
+         dict(engine=engine, libraries=libraries,
+              library_specs=library_specs)),
+    ])
+    return app
+
+
+def parse_libraries(libraries_arg):
+    """'name:mode:path,...' spec parser (reference run.py:145-156)."""
+    libraries = []
+    if libraries_arg:
+        libraries = [x.split(":") for x in libraries_arg.split(",")]
+    for i in range(len(libraries)):
+        if len(libraries[i]) == 1:
+            libraries[i] = [os.path.basename(libraries[i][0]), "disp",
+                            libraries[i][0]]
+        elif len(libraries[i]) == 2:
+            libraries[i] = [libraries[i][0], "disp", libraries[i][1]]
+        assert len(libraries[i]) == 3, \
+            f"Malformed library spec {libraries[i]}"
+        assert libraries[i][1] in ("disp", "random") or \
+            re.match(r"rand\d+", libraries[i][1])
+    return libraries
+
+
+def run_main(argv=None):
+    ap = argparse.ArgumentParser(description="Brushstroke engine UI server.")
+    ap.add_argument("--gan_checkpoint", type=str, default=None)
+    ap.add_argument("--encoder_checkpoint", type=str, default=None)
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--debug_dir", type=str, default=None)
+    ap.add_argument("--style_seed", type=int, default=None)
+    ap.add_argument("--disable_z_saving", action="store_true")
+    ap.add_argument("--libraries", type=str, default="Default:random:default")
+    ap.add_argument("--log_level", type=int, default=logging.INFO)
+    args = ap.parse_args(argv)
+    logging.basicConfig(level=args.log_level)
+
+    server = create_server(
+        encoder_checkpoint=args.encoder_checkpoint,
+        gan_checkpoint=args.gan_checkpoint,
+        debug_dir=args.debug_dir,
+        style_seed=args.style_seed,
+        enable_z_saving=not args.disable_z_saving,
+        library_specs=parse_libraries(args.libraries))
+    server.listen(args.port)
+    logger.info(f"Serving on http://localhost:{args.port}")
+    tornado.ioloop.IOLoop.instance().start()
+
+
+if __name__ == "__main__":
+    run_main()

@@ -1,0 +1,160 @@
+"""Server tests: protocol round trip + live tornado server with a websocket
+client driving the mock and GAN engines."""
+
+import json
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+import tornado.testing
+import tornado.websocket
+
+from brushstroke_engine_tpu.ui import protocol
+from brushstroke_engine_tpu.ui.server import create_server, parse_libraries
+from brushstroke_engine_tpu.utils.checkpoint import save_native
+from tests.helpers import small_bundle
+
+
+class TestProtocol:
+    def test_request_roundtrip(self):
+        rng = np.random.RandomState(0)
+        patch = (rng.rand(16, 16, 4) * 255).astype(np.uint8)
+        raw = protocol.encode_render_request(
+            patch, x=5, y=7, crop_margin=2, debug=True,
+            colors=[(0, 255, 0, 0), (1, 0, 255, 0)], extra_data=3)
+        meta, offset = protocol.decode_render_request_metadata(raw)
+        assert meta["debug"] is True
+        assert meta["extra_data"] == 3
+        assert len(meta["colors"]) == 2
+        patch_meta, img, _ = protocol.binary_to_image_patches(raw, offset)
+        assert patch_meta == {"width": 16, "height": 16, "x": 5, "y": 7,
+                              "crop_margin": 2}
+        np.testing.assert_array_equal(img, patch)
+
+    def test_response_roundtrip(self):
+        rng = np.random.RandomState(1)
+        img = (rng.rand(8, 8, 4) * 255).astype(np.uint8)
+        raw = protocol.int32_to_binary(0) + \
+            protocol.image_patch_to_binary(img, 3, 4)
+        rtype, meta, decoded = protocol.decode_render_response(raw)
+        assert rtype == 0
+        assert meta == {"x": 3, "y": 4}
+        np.testing.assert_array_equal(decoded, img)
+
+    def test_parse_libraries(self):
+        specs = parse_libraries("A:rand5:/tmp/a.pkl,B:disp:/tmp/b.txt")
+        assert specs == [["A", "rand5", "/tmp/a.pkl"],
+                         ["B", "disp", "/tmp/b.txt"]]
+        specs = parse_libraries("/tmp/c.pkl")
+        assert specs == [["c.pkl", "disp", "/tmp/c.pkl"]]
+
+
+class ServerTestBase(tornado.testing.AsyncHTTPTestCase):
+    gan_checkpoint = None
+
+    def get_app(self):
+        seeds = os.path.join(self.tmpdir, "seeds.txt")
+        with open(seeds, "w") as f:
+            f.write("1\n2\n3\n")
+        return create_server(
+            encoder_checkpoint=None,
+            gan_checkpoint=self.gan_checkpoint,
+            library_specs=[["Lib", "disp", seeds]])
+
+    def setUp(self):
+        import tempfile
+        self.tmpdir = tempfile.mkdtemp()
+        self._prepare()
+        super().setUp()
+
+    def _prepare(self):
+        pass
+
+
+class TestMockServer(ServerTestBase):
+    def test_index_page(self):
+        resp = self.fetch("/")
+        assert resp.code == 200
+        body = resp.body.decode()
+        assert "strokeCanvas" in body
+        assert "Lib" in body
+
+    def test_brush_icon_unknown_library(self):
+        resp = self.fetch("/brush/nope/1.jpg")
+        assert resp.code == 200
+        assert resp.headers["Content-Type"] == "image/jpeg"
+
+    def test_static_js(self):
+        resp = self.fetch("/static/app.js")
+        assert resp.code == 200
+
+    @tornado.testing.gen_test
+    def test_websocket_mock_render(self):
+        ws = yield tornado.websocket.websocket_connect(
+            f"ws://localhost:{self.get_http_port()}/websocket/")
+        msg = yield ws.read_message()
+        info = json.loads(msg)
+        assert info["type"] == "modelinfo"
+        pw = info["data"]["patch_width"]
+        msg = yield ws.read_message()
+        assert json.loads(msg)["type"] == "brushinfo"
+
+        patch = np.zeros((pw, pw, 4), np.uint8)
+        patch[10:30, 10:30, 3] = 255
+        raw = protocol.encode_render_request(patch, x=0, y=0)
+        ws.write_message(raw, binary=True)
+        resp = yield ws.read_message()
+        rtype, meta, img = protocol.decode_render_response(resp)
+        assert rtype == 0
+        assert img.shape[-1] == 4
+        ws.close()
+
+
+class TestGanServer(ServerTestBase):
+    def _prepare(self):
+        bundle = small_bundle()
+        self.gan_checkpoint = os.path.join(self.tmpdir, "bundle.pkl")
+        save_native(self.gan_checkpoint, bundle)
+
+    @tornado.testing.gen_test(timeout=120)
+    def test_full_session(self):
+        ws = yield tornado.websocket.websocket_connect(
+            f"ws://localhost:{self.get_http_port()}/websocket/")
+        info = json.loads((yield ws.read_message()))
+        pw = info["data"]["patch_width"]
+        yield ws.read_message()  # brushinfo
+
+        # Configure the session like the JS client does.
+        ws.write_message(json.dumps({"type": "new_canvas", "rows": 128,
+                                     "cols": 128, "feature_blending": 1}))
+        ws.write_message(json.dumps({"type": "set_option",
+                                     "option": "positions", "value": True}))
+        ws.write_message(json.dumps({"type": "set_brush", "seed": 7}))
+        yield ws.read_message()  # brushinfo after set_brush
+
+        patch = np.zeros((pw, pw, 4), np.uint8)
+        patch[4:20, 4:20, 3] = 255
+        raw = protocol.encode_render_request(
+            patch, x=16, y=16, crop_margin=4,
+            colors=[(0, 200, 30, 30)])
+        ws.write_message(raw, binary=True)
+        resp = yield ws.read_message()
+        rtype, meta, img = protocol.decode_render_response(resp)
+        assert rtype == 0
+        assert meta == {"x": 20, "y": 20}
+        assert img.shape == (pw - 8, pw - 8, 4)
+
+        # Library brush selection.
+        ws.write_message(json.dumps({"type": "set_brush",
+                                     "library_id": "Lib",
+                                     "style_id": "2"}))
+        info = json.loads((yield ws.read_message()))
+        assert info["data"]["style_id"] == "2"
+        ws.close()
+
+    def test_brush_icon_renders(self):
+        resp = self.fetch("/brush/Lib/1.jpg")
+        assert resp.code == 200
+        assert len(resp.body) > 100
