@@ -43,15 +43,15 @@ class InceptionFeatures:
 
     @staticmethod
     def random_init(seed: int = 0) -> "InceptionFeatures":
-        key = jax.random.PRNGKey(seed)
+        # numpy RNG: concrete arrays even when lazily built under a trace.
+        rng = np.random.RandomState(seed)
         convs = []
         cin = 3
         for (cout, k, s) in _PLAN:
-            key, sub = jax.random.split(key)
             std = float(np.sqrt(2.0 / (k * k * cin)))
             convs.append({
-                "weight": std * jax.random.normal(sub, (k, k, cin, cout),
-                                                  jnp.float32),
+                "weight": jnp.asarray(
+                    std * rng.randn(k, k, cin, cout), jnp.float32),
                 "bias": jnp.zeros((cout,), jnp.float32),
             })
             cin = cout

@@ -46,15 +46,16 @@ class LPIPSModel:
 
     @staticmethod
     def random_init(seed: int = 0) -> "LPIPSModel":
-        key = jax.random.PRNGKey(seed)
+        # numpy RNG: must yield CONCRETE arrays even if first touched inside
+        # a jit trace (a lazily-created default model must not cache tracers).
+        rng = np.random.RandomState(seed)
         convs = []
         cin = 3
         for (cout, k, s, p) in _ALEX_PLAN:
-            key, sub = jax.random.split(key)
             std = float(np.sqrt(2.0 / (k * k * cin)))
             convs.append({
-                "weight": std * jax.random.normal(sub, (k, k, cin, cout),
-                                                  jnp.float32),
+                "weight": jnp.asarray(
+                    std * rng.randn(k, k, cin, cout), jnp.float32),
                 "bias": jnp.zeros((cout,), jnp.float32),
             })
             cin = cout
