@@ -50,9 +50,9 @@ class InceptionFeatures:
         for (cout, k, s) in _PLAN:
             std = float(np.sqrt(2.0 / (k * k * cin)))
             convs.append({
-                "weight": jnp.asarray(
-                    std * rng.randn(k, k, cin, cout), jnp.float32),
-                "bias": jnp.zeros((cout,), jnp.float32),
+                "weight": (std * rng.randn(k, k, cin, cout)).astype(
+                    np.float32),
+                "bias": np.zeros((cout,), np.float32),
             })
             cin = cout
         return InceptionFeatures(convs=convs)
@@ -96,10 +96,10 @@ def extract_features(images, model: Optional[InceptionFeatures] = None):
     for i, ((cout, k, s), conv) in enumerate(zip(_PLAN, model.convs)):
         p = k // 2
         x = jax.lax.conv_general_dilated(
-            x, conv["weight"], (s, s), ((p, p), (p, p)),
+            x, jnp.asarray(conv["weight"]), (s, s), ((p, p), (p, p)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             precision=conv_precision(x.dtype),
-            preferred_element_type=jnp.float32) + conv["bias"]
+            preferred_element_type=jnp.float32) + jnp.asarray(conv["bias"])
         x = jax.nn.relu(x)
     return jnp.mean(x, axis=(1, 2))  # global average pool
 

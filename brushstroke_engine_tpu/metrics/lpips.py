@@ -54,12 +54,12 @@ class LPIPSModel:
         for (cout, k, s, p) in _ALEX_PLAN:
             std = float(np.sqrt(2.0 / (k * k * cin)))
             convs.append({
-                "weight": jnp.asarray(
-                    std * rng.randn(k, k, cin, cout), jnp.float32),
-                "bias": jnp.zeros((cout,), jnp.float32),
+                "weight": (std * rng.randn(k, k, cin, cout)).astype(
+                    np.float32),
+                "bias": np.zeros((cout,), np.float32),
             })
             cin = cout
-        lins = [jnp.ones((c,), jnp.float32) / np.sqrt(c)
+        lins = [np.ones((c,), np.float32) / np.sqrt(c)
                 for (c, *_rest) in _ALEX_PLAN]
         return LPIPSModel(convs=convs, lins=lins)
 
@@ -112,10 +112,10 @@ def _features(model: LPIPSModel, x):
     feats = []
     for i, ((cout, k, s, p), conv) in enumerate(zip(_ALEX_PLAN, model.convs)):
         x = jax.lax.conv_general_dilated(
-            x, conv["weight"], (s, s), ((p, p), (p, p)),
+            x, jnp.asarray(conv["weight"]), (s, s), ((p, p), (p, p)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             precision=conv_precision(x.dtype),
-            preferred_element_type=jnp.float32) + conv["bias"]
+            preferred_element_type=jnp.float32) + jnp.asarray(conv["bias"])
         x = jax.nn.relu(x)
         # Unit-normalize channels.
         norm = jax.lax.rsqrt(jnp.sum(jnp.square(x), axis=-1,
@@ -135,7 +135,7 @@ def lpips_pair(x, y, model: Optional[LPIPSModel] = None):
     fy = _features(model, y.astype(jnp.float32))
     total = 0.0
     for f1, f2, lin in zip(fx, fy, model.lins):
-        d = jnp.square(f1 - f2) * jnp.square(lin)[None, None, None, :]
+        d = jnp.square(f1 - f2) * jnp.square(jnp.asarray(lin))[None, None, None, :]
         total = total + jnp.mean(jnp.sum(d, axis=-1), axis=(1, 2))
     return total
 
