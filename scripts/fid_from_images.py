@@ -1,0 +1,47 @@
+#!/usr/bin/env python
+"""Standalone FID between two image folders/zips (crops to 128px).
+
+Rebuild of the reference scripts/fid_from_images.py -- used to evaluate
+stylization outputs against real media.
+"""
+
+import argparse
+import logging
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
+
+def batches_from_path(path, resolution, batch_size, max_items):
+    from brushstroke_engine_tpu.train.dataset import ImageFolderDataset
+    ds = ImageFolderDataset(path, resolution, resize_mode="crop")
+    n = min(len(ds), max_items) if max_items else len(ds)
+    for i in range(0, n, batch_size):
+        yield np.stack([ds[j] for j in range(i, min(i + batch_size, n))])
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--images0", required=True)
+    ap.add_argument("--images1", required=True)
+    ap.add_argument("--resolution", type=int, default=128)
+    ap.add_argument("--batch_size", type=int, default=32)
+    ap.add_argument("--max_items", type=int, default=50000)
+    args = ap.parse_args()
+    logging.basicConfig(level=logging.INFO)
+
+    from brushstroke_engine_tpu.metrics.fid import fid_from_image_iterables
+    fid = fid_from_image_iterables(
+        batches_from_path(args.images0, args.resolution, args.batch_size,
+                          args.max_items),
+        batches_from_path(args.images1, args.resolution, args.batch_size,
+                          args.max_items),
+        max_items=args.max_items)
+    print(f"FID: {fid:.4f}")
+
+
+if __name__ == "__main__":
+    main()

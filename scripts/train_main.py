@@ -1,0 +1,247 @@
+#!/usr/bin/env python
+"""GAN training CLI.
+
+Rebuild of the reference trainer entry (thirdparty/.../train.py:569-816)
+with the same option names where they exist; assembles a TrainConfig, builds
+or loads the geometry encoder, creates the numbered run directory
+(00000-<desc> style), dumps training_options.json, and runs the loop.
+"""
+
+import argparse
+import dataclasses
+import json
+import logging
+import os
+import re
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
+logger = logging.getLogger(__name__)
+
+
+def next_run_dir(outdir: str, desc: str) -> str:
+    os.makedirs(outdir, exist_ok=True)
+    prev = [re.match(r"^(\d+)-", d) for d in os.listdir(outdir)]
+    prev_ids = [int(m.group(1)) for m in prev if m]
+    run_id = max(prev_ids, default=-1) + 1
+    return os.path.join(outdir, f"{run_id:05d}-{desc}")
+
+
+def build_parser():
+    ap = argparse.ArgumentParser(description=__doc__)
+    # Data.
+    ap.add_argument("--data", help="Style image dataset (dir or zip).")
+    ap.add_argument("--geom_data", default=None,
+                    help="Triband geometry dataset (dir or zip); synthetic "
+                         "splines if omitted.")
+    ap.add_argument("--outdir", required=True)
+    ap.add_argument("--resume", default=None,
+                    help="Native snapshot to resume G from.")
+    ap.add_argument("--encoder_checkpt", default=None,
+                    help="Geometry encoder (.pt converted or native).")
+    ap.add_argument("--mirror", type=int, default=0)
+    # Model (reference train_flags.txt names).
+    ap.add_argument("--output_resolution", type=int, default=128)
+    ap.add_argument("--zdim", type=int, default=64)
+    ap.add_argument("--wdim", type=int, default=64)
+    ap.add_argument("--channel_max", type=int, default=128)
+    ap.add_argument("--color_format", default="triad",
+                    choices=["orig", "triad", "canvas"])
+    ap.add_argument("--color_w_channels", type=int, default=0)
+    ap.add_argument("--geom_inject_resolutions", default="0,1",
+                    help="Encoder resolutions to inject (CSV).")
+    ap.add_argument("--synthesis_arch", default="orig")
+    ap.add_argument("--d_arch", default="orig")
+    ap.add_argument("--positional_encoding", default=None)
+    ap.add_argument("--posenc_inject_resolutions", default="")
+    ap.add_argument("--posenc_injection_mode", default="cat")
+    # Optimization.
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--glr", type=float, default=2e-4)
+    ap.add_argument("--dlr", type=float, default=2e-4)
+    ap.add_argument("--geom_lr", type=float, default=2e-4)
+    ap.add_argument("--gamma", type=float, default=None,
+                    help="R1 weight; default 0.0002*res^2/batch.")
+    ap.add_argument("--kimg", type=int, default=10000)
+    ap.add_argument("--snap", type=int, default=100,
+                    help="Snapshot/eval interval in ticks of 4 kimg.")
+    ap.add_argument("--aug", default="ada", choices=["ada", "noaug"])
+    ap.add_argument("--augpipe", default="bgc")
+    ap.add_argument("--style_mixing_prob", type=float, default=0.9)
+    # NeuBE phases (train_flags.txt:8-14).
+    ap.add_argument("--main_phase_losses", default="")
+    ap.add_argument("--geom_phase_losses", default="1.0*iou_inv(uvs)")
+    ap.add_argument("--geom_warmstart_losses",
+                    default="1.0*iou_inv(uvs)+1.0*iou(u)")
+    ap.add_argument("--stitch_phase_losses", default="")
+    ap.add_argument("--geom_interval", type=int, default=200)
+    ap.add_argument("--stitch_interval", type=int, default=0)
+    ap.add_argument("--geom_phase_mode", default="last_and_rgb")
+    ap.add_argument("--geom_warmstart_mode", default="last_and_rgb")
+    ap.add_argument("--geom_warmstart_kimg", type=float, default=50)
+    ap.add_argument("--geom_warmstart_start_kimg", type=float, default=0)
+    ap.add_argument("--exit_after_warmstart", action="store_true")
+    ap.add_argument("--partial_loss_with_triband_input", type=int, default=1)
+    ap.add_argument("--geom_input_channel", type=int, default=1)
+    ap.add_argument("--geom_truth_channel", type=int, default=2)
+    # Misc.
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--metrics", default="fid,forger")
+    ap.add_argument("--dry-run", action="store_true", dest="dry_run")
+    ap.add_argument("--log_level", type=int, default=logging.INFO)
+    return ap
+
+
+def setup_config(args):
+    """argparse args -> (TrainConfig, enc bundle) mirroring
+    setup_training_loop_kwargs (reference train.py:99-474)."""
+    from brushstroke_engine_tpu.flagship import flagship_encoder_config
+    from brushstroke_engine_tpu.models.generator import make_generator_config
+    from brushstroke_engine_tpu.models.discriminator import (
+        DiscriminatorConfig,
+    )
+    from brushstroke_engine_tpu.models.geo_encoder import geo_encoder_init
+    from brushstroke_engine_tpu.train.state import TrainConfig
+    from brushstroke_engine_tpu.train.augment import AugmentConfig
+    import jax
+
+    inject = tuple(int(x) for x in
+                   args.geom_inject_resolutions.split(",") if x != "")
+
+    enc_cfg = flagship_encoder_config()
+    enc_params = enc_state = None
+    if args.encoder_checkpt:
+        from brushstroke_engine_tpu.utils import checkpoint as ckpt
+        from brushstroke_engine_tpu.utils import torch_extract as tx
+        raw = tx.load_torch_file(args.encoder_checkpt)
+        enc_args = raw.get("args", {})
+        if hasattr(enc_args, "__dict__"):
+            enc_args = vars(enc_args)
+        enc_cfg = ckpt.encoder_config_from_args(enc_args)
+        flat = {k: tx.to_numpy(v) for k, v in raw["model_state"].items()}
+        enc_params, enc_state = ckpt.convert_encoder_state(flat, enc_cfg)
+    else:
+        enc_params, enc_state = geo_encoder_init(
+            enc_cfg, jax.random.PRNGKey(args.seed + 99))
+
+    res = args.output_resolution
+    posenc_res = tuple(int(x) for x in
+                       args.posenc_inject_resolutions.split(",") if x != "")
+    gen_cfg = make_generator_config(
+        z_dim=args.zdim, w_dim=args.wdim, img_resolution=res,
+        geom_feature_resolutions=tuple(
+            enc_cfg.featuremap_resolution(res, r) for r in inject),
+        geom_feature_channels=tuple(
+            enc_cfg.feature_channels(r) for r in inject),
+        color_format=args.color_format,
+        color_w_channels=args.color_w_channels,
+        channel_base=16384, channel_max=args.channel_max,
+        positional_encoding=args.positional_encoding,
+        posenc_inject_resolutions=posenc_res,
+        posenc_injection_mode=args.posenc_injection_mode)
+    disc_cfg = DiscriminatorConfig(
+        c_dim=0, img_resolution=res, img_channels=3,
+        channel_base=16384, channel_max=args.channel_max,
+        architecture="resnet" if args.d_arch == "resnet" else "resnet")
+
+    gamma = args.gamma if args.gamma is not None else \
+        0.0002 * (res ** 2) / args.batch
+
+    cfg = TrainConfig(
+        gen_cfg=gen_cfg, disc_cfg=disc_cfg, enc_cfg=enc_cfg,
+        enc_res=inject, batch_size=args.batch,
+        g_lr=args.glr, d_lr=args.dlr, geom_lr=args.geom_lr,
+        r1_gamma=gamma,
+        style_mixing_prob=args.style_mixing_prob,
+        main_phase_losses=args.main_phase_losses,
+        geom_phase_losses=args.geom_phase_losses,
+        geom_warmstart_losses=args.geom_warmstart_losses,
+        stitch_phase_losses=args.stitch_phase_losses,
+        partial_loss_with_triband_input=bool(
+            args.partial_loss_with_triband_input),
+        geom_interval=args.geom_interval,
+        stitch_interval=args.stitch_interval,
+        geom_phase_mode=args.geom_phase_mode,
+        geom_warmstart_mode=args.geom_warmstart_mode,
+        geom_warmstart_kimg=args.geom_warmstart_kimg,
+        geom_warmstart_start_kimg=args.geom_warmstart_start_kimg,
+        augment=AugmentConfig.from_spec(args.augpipe)
+        if args.aug == "ada" else None,
+        total_kimg=args.kimg)
+    return cfg, enc_cfg, enc_params, enc_state
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(level=args.log_level)
+
+    cfg, enc_cfg, enc_params, enc_state = setup_config(args)
+
+    desc = (f"{args.color_format}-res{args.output_resolution}"
+            f"-batch{args.batch}")
+    run_dir = next_run_dir(args.outdir, desc)
+
+    if args.dry_run:
+        print("Resolved training options:")
+        print(json.dumps({k: str(v) for k, v in vars(args).items()},
+                         indent=2))
+        print(f"Would create run dir: {run_dir}")
+        return
+
+    os.makedirs(run_dir, exist_ok=True)
+    with open(os.path.join(run_dir, "training_options.json"), "w") as f:
+        json.dump({k: v for k, v in vars(args).items()}, f, indent=2)
+
+    from brushstroke_engine_tpu.train.dataset import (
+        ImageFolderDataset, SyntheticGeometryDataset, BatchIterator,
+    )
+    from brushstroke_engine_tpu.train.loop import TrainingLoop
+
+    res = args.output_resolution
+    if args.data:
+        style_ds = ImageFolderDataset(args.data, res, xflip=bool(args.mirror))
+    else:
+        logger.warning("--data not given: using random noise style images "
+                       "(smoke-test mode)")
+
+        class _NoiseDS:
+            def __len__(self):
+                return 1024
+
+            def __getitem__(self, idx):
+                rng = np.random.default_rng(idx)
+                return (rng.random((res, res, 3)) * 255).astype(np.uint8)
+
+        style_ds = _NoiseDS()
+    if args.geom_data:
+        geom_ds = ImageFolderDataset(args.geom_data, res + 64, channels=3)
+    else:
+        geom_ds = SyntheticGeometryDataset(res + 64)
+
+    style_iter = BatchIterator(style_ds, cfg.batch_size, seed=args.seed)
+    geom_iter = BatchIterator(geom_ds, cfg.batch_size, seed=args.seed + 1)
+
+    resume_state = None
+    g_params = g_state = None
+    if args.resume:
+        from brushstroke_engine_tpu.utils.checkpoint import load_native
+        bundle = load_native(args.resume)
+        g_params = bundle.gen_params
+        g_state = bundle.gen_state
+
+    loop = TrainingLoop(cfg, enc_params, enc_state, style_iter, geom_iter,
+                        run_dir=run_dir, seed=args.seed)
+    if g_params is not None:
+        from brushstroke_engine_tpu.train.state import init_train_state
+        import jax
+        loop.state = init_train_state(cfg, jax.random.PRNGKey(args.seed),
+                                      g_params=g_params, g_state=g_state)
+    loop.run(exit_after_warmstart=args.exit_after_warmstart)
+    print(f"Training finished; run dir: {run_dir}")
+
+
+if __name__ == "__main__":
+    main()
