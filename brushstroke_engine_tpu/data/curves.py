@@ -85,6 +85,13 @@ def draw_stroke(width: int, pts: np.ndarray, radius: float,
     Returns:
       ``[width, width]`` float32, 1.0 = background, 0.0 = stroke.
     """
+    # Native C++ fast path (bucketed distance rasterizer); numpy fallback.
+    from brushstroke_engine_tpu import native
+    if pts.shape[0] >= 2:
+        out = native.draw_stroke_native(width, np.asarray(pts, np.float32),
+                                        float(radius), float(soft_edge))
+        if out is not None:
+            return out
     ys, xs = np.meshgrid(np.arange(width), np.arange(width), indexing="ij")
     grid = np.stack([ys.ravel(), xs.ravel()], axis=1).astype(np.float64)
     pts = np.asarray(pts, np.float64)
