@@ -1,0 +1,122 @@
+"""General runtime utilities.
+
+Rebuild of the reference dnnlib/util + forger util helpers
+(thirdparty/.../dnnlib/util.py, forger/util/logging.py, forger/util/timer.py):
+EasyDict, class construction from config strings, tee'd logging, wall-clock
+timing, and tensor stat logging.
+"""
+
+from __future__ import annotations
+
+import importlib
+import logging
+import sys
+import time
+from typing import Any, Optional
+
+import numpy as np
+
+
+class EasyDict(dict):
+    """Attribute-access dict (reference dnnlib.util.EasyDict)."""
+
+    def __getattr__(self, name):
+        try:
+            return self[name]
+        except KeyError:
+            raise AttributeError(name)
+
+    def __setattr__(self, name, value):
+        self[name] = value
+
+    def __delattr__(self, name):
+        del self[name]
+
+
+def get_obj_by_name(name: str) -> Any:
+    """'pkg.module.attr' -> object (reference construct_class_by_name infra)."""
+    module_name, _, attr = name.rpartition(".")
+    module = importlib.import_module(module_name)
+    return getattr(module, attr)
+
+
+def construct_class_by_name(*args, class_name: str, **kwargs) -> Any:
+    """String-based dependency injection (reference dnnlib util)."""
+    return get_obj_by_name(class_name)(*args, **kwargs)
+
+
+def format_time(seconds: float) -> str:
+    s = int(round(seconds))
+    if s < 60:
+        return f"{s}s"
+    if s < 3600:
+        return f"{s // 60}m {s % 60:02d}s"
+    if s < 86400:
+        return f"{s // 3600}h {(s % 3600) // 60:02d}m"
+    return f"{s // 86400}d {(s % 86400) // 3600:02d}h"
+
+
+class Timer:
+    """Simple wall-clock timer (reference forger/util/timer.py)."""
+
+    def __init__(self):
+        self.start_time = time.time()
+
+    def tick(self) -> float:
+        now = time.time()
+        elapsed = now - self.start_time
+        self.start_time = now
+        return elapsed
+
+    def peek(self) -> float:
+        return time.time() - self.start_time
+
+
+class Logger:
+    """Tee stdout/stderr to a file (reference dnnlib.util.Logger)."""
+
+    def __init__(self, file_name: Optional[str] = None, mode: str = "w"):
+        self.file = open(file_name, mode) if file_name else None
+        self.stdout = sys.stdout
+        sys.stdout = self
+
+    def write(self, text):
+        self.stdout.write(text)
+        if self.file:
+            self.file.write(text)
+
+    def flush(self):
+        self.stdout.flush()
+        if self.file:
+            self.file.flush()
+
+    def close(self):
+        sys.stdout = self.stdout
+        if self.file:
+            self.file.close()
+
+
+def default_log_setup(level=logging.INFO):
+    """Logging setup (reference forger/util/logging.py:19)."""
+    logging.basicConfig(
+        level=level,
+        format="%(asctime)s|%(levelname)8s| %(message)s",
+        handlers=[logging.StreamHandler(sys.stdout)])
+
+
+def add_log_level_flag(parser):
+    parser.add_argument("--log_level", type=int, default=logging.INFO,
+                        help="Logging level (10 debug, 20 info, ...)")
+
+
+def log_tensor(t, name: str, logger, level=logging.DEBUG,
+               print_stats: bool = False):
+    """Shape/stat logging (reference forger/util/logging.py:66)."""
+    if not logger.isEnabledFor(level):
+        return
+    arr = np.asarray(t)
+    msg = f"{name}: shape {arr.shape} dtype {arr.dtype}"
+    if print_stats and arr.size:
+        msg += (f" min {arr.min():.4f} max {arr.max():.4f} "
+                f"mean {arr.mean():.4f}")
+    logger.log(level, msg)
