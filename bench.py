@@ -23,7 +23,7 @@ import numpy as np
 
 REF_PATCHES_PER_SEC_GPU = 25.0
 BATCH = 16
-ITERS = 8
+ITERS = 16
 RESOLUTION = 256
 
 
