@@ -117,6 +117,22 @@ def generate_dirty_area_alpha(dirty_area: Area, width: int, margin: int,
 class PaintingHelper:
     """Per-session canvas/render orchestration (reference brush.py:95-407)."""
 
+    _test_stroke = None
+
+    @staticmethod
+    def test_stroke(width: int = 256):
+        """A synthetic stroke fixture (reference brush.py:400-407 loads a
+        bundled PNG; we generate one procedurally)."""
+        if PaintingHelper._test_stroke is None or \
+                PaintingHelper._test_stroke.shape[0] != width:
+            from brushstroke_engine_tpu.data.curated_geometry import \
+                curated_geometry_patch
+            geom = curated_geometry_patch("curve", 16, width)
+            rgba = np.zeros((width, width, 4), np.uint8)
+            rgba[..., 3] = ((1.0 - geom) * 255).astype(np.uint8)
+            PaintingHelper._test_stroke = rgba
+        return PaintingHelper._test_stroke
+
     def __init__(self, paint_engine, style_seed=None, debug_dir=None):
         self.engine = paint_engine
         self.seed_rng = np.random.default_rng(seed=style_seed)

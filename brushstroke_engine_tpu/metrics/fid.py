@@ -152,6 +152,42 @@ def compute_fid_from_feature_stats(stats_real: FeatureStats,
     return frechet_distance(mu_g, sig_g, mu_r, sig_r)
 
 
+def kernel_inception_distance(feats_real: np.ndarray, feats_gen: np.ndarray,
+                              num_subsets: int = 10,
+                              max_subset_size: int = 1000,
+                              seed: int = 0) -> float:
+    """KID: polynomial-kernel MMD over pool features (the reference's metric
+    zoo includes kid.py; reference train.py:220 restricts training-time
+    metrics to fid+forger but the standalone metric remains available)."""
+    rng = np.random.RandomState(seed)
+    n = feats_real.shape[1]
+    m = min(feats_real.shape[0], feats_gen.shape[0], max_subset_size)
+    t = 0.0
+    for _ in range(num_subsets):
+        x = feats_gen[rng.choice(feats_gen.shape[0], m, replace=False)]
+        y = feats_real[rng.choice(feats_real.shape[0], m, replace=False)]
+        a = (x @ x.T / n + 1) ** 3 + (y @ y.T / n + 1) ** 3
+        b = (x @ y.T / n + 1) ** 3
+        t += (a.sum() - np.trace(a)) / (m - 1) - b.sum() * 2 / m
+    return float(t / num_subsets / m)
+
+
+def inception_score(feats: np.ndarray, num_splits: int = 10) -> float:
+    """IS over softmax of pool features (metric-zoo parity; see KID note)."""
+    probs = np.exp(feats - feats.max(1, keepdims=True))
+    probs = probs / probs.sum(1, keepdims=True)
+    scores = []
+    n = probs.shape[0]
+    for i in range(num_splits):
+        part = probs[i * n // num_splits:(i + 1) * n // num_splits]
+        if len(part) == 0:
+            continue
+        kl = part * (np.log(part + 1e-12)
+                     - np.log(part.mean(0, keepdims=True) + 1e-12))
+        scores.append(np.exp(kl.sum(1).mean()))
+    return float(np.mean(scores))
+
+
 def fid_from_image_iterables(real_batches: Iterable, gen_batches: Iterable,
                              max_items: Optional[int] = None,
                              model: Optional[InceptionFeatures] = None

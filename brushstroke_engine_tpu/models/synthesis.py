@@ -174,8 +174,72 @@ def _synthesis_layer_apply(cfg: SynthesisConfig, params, x, w, *,
 
 
 # ---------------------------------------------------------------------------
-# Output heads (reference networks.py:396-485)
+# Output heads (reference networks.py:396-536)
 # ---------------------------------------------------------------------------
+
+def color_mapping_init(key, w_dim: int, layer_features=(128, 32)):
+    """ColorMappingNetwork params: small MLP w -> 9 color scalars
+    (reference networks.py:178-212; declared in the reference but the
+    shipped color path lives in ToRGBColorTriadLayer -- kept for parity)."""
+    sizes = [w_dim] + list(layer_features) + [9]
+    params = {}
+    for i in range(len(sizes) - 1):
+        key, sub = jax.random.split(key)
+        params[f"fc{i}"] = fc_init(sub, sizes[i], sizes[i + 1])
+    return params
+
+
+def color_mapping_apply(params, w, activation: str = "lrelu",
+                        normalize: bool = True):
+    """w [B, w_dim] -> colors [B, 3, 3] (tanh-normalized)."""
+    x = w.astype(jnp.float32)
+    n = len(params)
+    for i in range(n):
+        x = fc_apply(params[f"fc{i}"], x, activation=activation)
+    colors = x.reshape((-1, 3, 3))
+    if normalize:
+        colors = jnp.tanh(colors)
+    return colors
+
+
+def to_canvas_stroke_init(key, in_ch: int, out_ch: int, w_dim: int):
+    """ToCanvasStrokeLayer params (reference networks.py:489-536): canvas +
+    uvs weights + single alpha channel, colors from the affine."""
+    k_affine, k_weight = jax.random.split(key)
+    n_color = 9
+    out_total = out_ch + 3 + 1  # canvas(out_ch=3) + uvs(3) + alpha(1)
+    return {
+        "affine": fc_init(k_affine, w_dim, in_ch + n_color, bias_init=1.0),
+        "weight": jax.random.normal(k_weight, (1, 1, in_ch, out_total),
+                                    jnp.float32),
+        "bias": jnp.zeros((out_total,), jnp.float32),
+        "color_bias": jnp.zeros((n_color,), jnp.float32),
+    }
+
+
+def to_canvas_stroke_apply(params, x, w, conv_clamp=None):
+    """Alternative canvas head: tanh canvas + softmax uvs + tanh alpha
+    (reference networks.py:520-536).  Returns (img, debug_data)."""
+    in_ch = params["weight"].shape[2]
+    weight_gain = 1.0 / math.sqrt(in_ch)
+    scaled = fc_apply(params["affine"], w.astype(jnp.float32))
+    colors = scaled[:, :9]
+    styles = scaled[:, 9:] * weight_gain
+    colors = bias_act(colors, params["color_bias"], dim=-1, act="tanh")
+    colors = colors.reshape((-1, 3, 3))
+    x = modulated_conv2d(x, params["weight"], styles, demodulate=False)
+    x = bias_act(x, params["bias"].astype(x.dtype), dim=-1, clamp=conv_clamp)
+    x = x.astype(jnp.float32)
+    canvas = jnp.tanh(x[..., :3])
+    uvs = jax.nn.softmax(x[..., 3:6], axis=-1)
+    alpha_fg = (jnp.tanh(x[..., 6:]) + 1.0) / 2.0
+    stroke = jnp.einsum("bhwk,bck->bhwc", uvs, colors)
+    out = (1.0 - alpha_fg) * canvas + alpha_fg * stroke
+    debug = {"colors": colors, "uvs": uvs, "canvas": canvas,
+             "alpha_fg": alpha_fg}
+    return out, debug
+
+
 
 def _torgb_init(cfg: SynthesisConfig, key, in_ch):
     """ToRGBLayer ('orig') or ToRGBColorTriadLayer ('triad'/'canvas')."""

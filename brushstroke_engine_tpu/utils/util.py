@@ -109,6 +109,26 @@ def add_log_level_flag(parser):
                         help="Logging level (10 debug, 20 info, ...)")
 
 
+def print_param_summary(params, name: str = "model", max_rows: int = 40):
+    """Parameter-count summary table (reference misc.print_module_summary
+    dry-forward analog for param pytrees)."""
+    import jax
+    rows = []
+    total = 0
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    for path, leaf in flat:
+        n = int(np.prod(np.asarray(leaf).shape)) if np.ndim(leaf) else 1
+        total += n
+        rows.append(("/".join(str(getattr(p, "key", p)) for p in path),
+                     tuple(np.shape(leaf)), n))
+    print(f"{name} parameters: {total:,}")
+    for r in rows[:max_rows]:
+        print(f"  {r[0]:<60s} {str(r[1]):<20s} {r[2]:,}")
+    if len(rows) > max_rows:
+        print(f"  ... ({len(rows) - max_rows} more tensors)")
+    return total
+
+
 def log_tensor(t, name: str, logger, level=logging.DEBUG,
                print_stats: bool = False):
     """Shape/stat logging (reference forger/util/logging.py:66)."""
