@@ -241,6 +241,7 @@ class TrainingLoop:
                 self.hooks.on_tick(self, stats)
 
             snap_path = self.save_snapshot()
+            self.save_train_state()
             if self.hooks.on_snapshot is not None:
                 self.hooks.on_snapshot(self, snap_path)
 
@@ -251,6 +252,43 @@ class TrainingLoop:
                 return self.state
 
     # ------------------------------------------------------------------
+
+    def save_train_state(self, path: Optional[str] = None) -> str:
+        """Full resumable training checkpoint: params, optimizer moments,
+        EMA, ADA/PL state, and progress counters (the reference resumes only
+        network params via copy_params_and_buffers; we keep the whole state
+        so resumed runs are bitwise-continuous)."""
+        import pickle
+        path = path or os.path.join(self.run_dir, "train_state.pkl")
+        payload = {
+            "magic": "brushstroke_engine_tpu.train_state.v1",
+            "state": jax.tree_util.tree_map(np.asarray, self.state),
+            "cur_nimg": self.cur_nimg,
+            "batch_idx": self.batch_idx,
+            "cur_tick": self.cur_tick,
+        }
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(payload, f, protocol=4)
+        os.replace(tmp, path)
+        return path
+
+    def load_train_state(self, path: Optional[str] = None) -> bool:
+        import pickle
+        path = path or os.path.join(self.run_dir, "train_state.pkl")
+        if not os.path.isfile(path):
+            return False
+        with open(path, "rb") as f:
+            payload = pickle.load(f)
+        assert payload.get("magic") == \
+            "brushstroke_engine_tpu.train_state.v1"
+        self.state = jax.tree_util.tree_map(jnp.asarray, payload["state"])
+        self.cur_nimg = payload["cur_nimg"]
+        self.batch_idx = payload["batch_idx"]
+        self.cur_tick = payload["cur_tick"]
+        logger.info("Resumed training state at %d kimg",
+                    self.cur_nimg // 1000)
+        return True
 
     def save_snapshot(self) -> str:
         """Self-contained engine bundle of G_ema + the geometry encoder
