@@ -91,8 +91,10 @@ class GanBrushOptions:
             if x is None:
                 return None
             if x.shape[0] != batch_size:
-                assert x.shape[0] == 1, \
-                    "style batch must match or be broadcastable from 1"
+                if x.shape[0] != 1:
+                    # Previously broadcast to another batch size: styles are
+                    # per-brush (identical rows), so re-broadcast from row 0.
+                    x = x[:1]
                 reps = (batch_size,) + (1,) * (x.ndim - 1)
                 return np.tile(x, reps)
             return x

@@ -1,0 +1,188 @@
+"""Device-resident feature canvas: the whole per-stroke step in ONE program.
+
+The host-side PaintingHelper (engine/canvas.py) mirrors the reference: the
+feature canvas lives in host memory and every stroke moves feature tensors
+host<->device.  This module is the TPU-first version promised in SURVEY.md
+section 5.7: the canvas (intermediate generator activations + validity mask)
+stays in HBM as jax arrays, and one jitted function per stroke does
+
+  read window (dynamic_slice) -> blend-alpha from the mask -> encode+render
+  with blended features -> write window back (dynamic_update_slice)
+
+with the canvas buffers donated, so an interactive stroke is a single device
+dispatch with no feature traffic -- the <30 ms p50 design point.  Tile
+positions are traced values: painting anywhere on the canvas reuses one
+compiled program.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from brushstroke_engine_tpu.models.generator import generator_apply
+from brushstroke_engine_tpu.models.geo_encoder import geo_encoder_encode
+
+
+class CanvasState(NamedTuple):
+    """Feature canvas pytree: [1, H/d, W/d, C] features + [H/d, W/d] mask."""
+    features: jnp.ndarray
+    mask: jnp.ndarray           # float32, 1.0 where features are valid
+
+
+def init_canvas_state(canvas_height: int, canvas_width: int,
+                      down_factor: int, feature_channels: int,
+                      dtype=jnp.float32) -> CanvasState:
+    h = -(-canvas_height // down_factor)
+    w = -(-canvas_width // down_factor)
+    return CanvasState(
+        features=jnp.zeros((1, h, w, feature_channels), dtype),
+        mask=jnp.zeros((h, w), jnp.float32))
+
+
+def _blend_alpha(mask_window, blend_margin: int, crop_margin: int):
+    """Blend weight for stored features over a whole-tile dirty area
+    (engine/canvas.py:generate_dirty_area_alpha specialized to the
+    full-patch case, all-jnp).  Returns (alpha [h,w,1], update [h,w])."""
+    h, w = mask_window.shape
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None]
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :]
+    # Clamp so the dirty interior never vanishes for small blend windows.
+    m = min(blend_margin + crop_margin, h // 4)
+    blend_margin = max(min(blend_margin, h // 4), 1)
+    lo = m
+    hi_r = h - m
+    hi_c = w - m
+    # Distance-based ramp from the interior dirty area to the borders.
+    d_r = jnp.minimum(ys - lo, hi_r - 1 - ys)
+    d_c = jnp.minimum(xs - lo, hi_c - 1 - xs)
+    d = jnp.minimum(d_r, d_c)
+    ramp = jnp.clip(1.0 + d / blend_margin, 0.0, 1.0)  # 1 inside, ->0 at edge
+    # Keep stored features where they exist and we are near the border.
+    alpha = (1.0 - ramp) * mask_window
+    update = jnp.maximum(ramp > 0.99, mask_window * (alpha > 0))
+    if crop_margin > 0:
+        border = jnp.zeros((h, w))
+        border = border.at[crop_margin:h - crop_margin,
+                           crop_margin:w - crop_margin].set(1.0)
+        update = update * border
+    return alpha[..., None], update
+
+
+@partial(jax.jit, static_argnames=(
+    "gen_cfg", "enc_cfg", "enc_res", "render_mode", "blend_res",
+    "blend_margin", "crop_margin"), donate_argnums=(8,))
+def render_stroke_step(gen_cfg, enc_cfg, enc_res, render_mode: str,
+                       blend_res: int, blend_margin: int, crop_margin: int,
+                       bundle_params, canvas: CanvasState,
+                       geom_patch, position, z, ws,
+                       color_override, color_mask):
+    """One interactive stroke: returns (rgba [1,W,W,4], new CanvasState).
+
+    Args:
+      bundle_params: (gen_params, gen_state, enc_params, enc_state).
+      geom_patch: [1, W, W, 1] float, 1 = background.
+      position: [2] int (y, x) canvas coords (multiple of down factor).
+      z / ws: style (exactly one non-None).
+      color_override/color_mask: optional user colors ([1,3,3] / [1,1,3]).
+    """
+    gen_params, gen_state, enc_params, enc_state = bundle_params
+    patch = geom_patch.shape[1]
+    down = patch // blend_res
+    y, x = position[0], position[1]
+    fy = y // down
+    fx = x // down
+
+    # Read the stored window + mask.
+    feats_win = jax.lax.dynamic_slice(
+        canvas.features, (0, fy, fx, 0),
+        (1, blend_res, blend_res, canvas.features.shape[-1]))
+    mask_win = jax.lax.dynamic_slice(canvas.mask, (fy, fx),
+                                     (blend_res, blend_res))
+
+    alpha, update = _blend_alpha(mask_win, max(blend_margin // down, 1),
+                                 crop_margin // down)
+
+    geom_feats = geo_encoder_encode(enc_cfg, enc_params, enc_state,
+                                    geom_patch, res=list(enc_res))
+    img, debug, _ = generator_apply(
+        gen_cfg, gen_params, gen_state, z=z, ws=ws,
+        geom_features=geom_feats, positions=position[None],
+        noise_mode="const", return_debug_data=True,
+        return_features=(blend_res,),
+        blended_features={blend_res: (feats_win, alpha[None])})
+
+    uvs = debug["uvs"]
+    colors = (debug["colors"] + 1.0) / 2.0
+    if color_override is not None:
+        colors = color_mask * color_override + (1 - color_mask) * colors
+    stroke = jnp.einsum("bhwk,bck->bhwc", uvs, colors)
+    if render_mode == "clear":
+        a = jnp.sum(uvs[..., :2], axis=-1, keepdims=True)
+    else:
+        a = jnp.ones_like(stroke[..., :1])
+    rgba = jnp.concatenate([stroke, a], axis=-1)
+
+    # Write back features where update is set.
+    new_feats = debug[f"features{blend_res}"].astype(canvas.features.dtype)
+    upd = update[None, :, :, None]
+    merged = feats_win * (1 - upd) + new_feats * upd
+    features = jax.lax.dynamic_update_slice(canvas.features, merged,
+                                            (0, fy, fx, 0))
+    mask = jax.lax.dynamic_update_slice(
+        canvas.mask, jnp.maximum(mask_win, update), (fy, fx))
+    return rgba, CanvasState(features=features, mask=mask)
+
+
+class DevicePaintSession:
+    """Stateful wrapper: an interactive painting session whose feature canvas
+    never leaves the device.  API mirrors PaintingHelper.render_stroke for
+    full patches."""
+
+    def __init__(self, engine, canvas_height: int, canvas_width: int,
+                 feature_blending_level: int = 2, blend_margin: int = 16,
+                 crop_margin: int = 0):
+        self.engine = engine
+        self.level = feature_blending_level
+        self.down = 2 ** (feature_blending_level - 1)
+        self.blend_res = engine.patch_width // self.down
+        self.blend_margin = blend_margin
+        self.crop_margin = crop_margin
+        ch = engine.gen_cfg.synthesis.channels(self.blend_res)
+        self.canvas = init_canvas_state(canvas_height, canvas_width,
+                                        self.down, ch)
+        self._params = (engine.gen_params, engine.gen_state,
+                        engine.enc_params, engine.enc_state)
+
+    def render_stroke(self, stroke_patch: np.ndarray, opts,
+                      x: int, y: int):
+        """stroke_patch: uint8 [W, W, 4]; returns uint8 RGBA + out meta."""
+        eng = self.engine
+        geom = eng.prepare_geom_input(stroke_patch)
+        geom = jnp.asarray(geom.reshape(1, eng.patch_width,
+                                        eng.patch_width, 1))
+        x = (x // self.down) * self.down
+        y = (y // self.down) * self.down
+        opts.prepare_style(1)
+        override, cmask = opts.color_override(1)
+        rgba, self.canvas = render_stroke_step(
+            eng.gen_cfg, eng.enc_cfg, tuple(eng.enc_res), eng.render_mode,
+            self.blend_res, self.blend_margin, self.crop_margin,
+            self._params, self.canvas, geom,
+            jnp.asarray([y, x]),
+            None if opts.style_z is None else jnp.asarray(opts.style_z,
+                                                          jnp.float32),
+            None if opts.style_ws is None else jnp.asarray(opts.style_ws,
+                                                           jnp.float32),
+            None if override is None else jnp.asarray(override),
+            None if cmask is None else jnp.asarray(cmask))
+        img = np.clip(np.asarray(rgba[0]) * 255, 0, 255).astype(np.uint8)
+        if self.crop_margin > 0:
+            m = self.crop_margin
+            img = img[m:-m, m:-m]
+        return img, {"x": x + self.crop_margin, "y": y + self.crop_margin}

@@ -1,0 +1,84 @@
+"""Tests for the device-resident feature canvas path."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from brushstroke_engine_tpu.engine.brush import GanBrushOptions
+from brushstroke_engine_tpu.engine.device_canvas import (
+    DevicePaintSession, init_canvas_state, _blend_alpha,
+)
+from tests.helpers import make_engine
+
+
+def stroke_patch(width, seed=0):
+    rng = np.random.default_rng(seed)
+    patch = np.zeros((width, width, 4), np.uint8)
+    y = rng.integers(4, width - 12)
+    patch[y:y + 8, 4:width - 4, 3] = 255
+    return patch
+
+
+class TestBlendAlpha:
+    def test_empty_mask_no_blend(self):
+        mask = jnp.zeros((32, 32))
+        alpha, update = _blend_alpha(mask, blend_margin=4, crop_margin=0)
+        np.testing.assert_allclose(np.asarray(alpha), 0.0)
+        assert np.asarray(update)[16, 16] == 1.0
+
+    def test_full_mask_blends_at_border(self):
+        mask = jnp.ones((32, 32))
+        alpha, update = _blend_alpha(mask, blend_margin=4, crop_margin=0)
+        a = np.asarray(alpha)[..., 0]
+        assert a[0, 16] > 0.9      # border keeps stored features
+        assert a[16, 16] == 0.0    # interior uses fresh render
+
+
+class TestDeviceSession:
+    def test_session_paints_and_updates_canvas(self):
+        eng = make_engine()
+        sess = DevicePaintSession(eng, 128, 128, feature_blending_level=1)
+        opts = GanBrushOptions()
+        opts.set_style(eng.random_style(5), 5)
+        img, meta = sess.render_stroke(stroke_patch(eng.patch_width), opts,
+                                       x=0, y=0)
+        assert img.shape == (32, 32, 4)
+        assert float(np.asarray(sess.canvas.mask).max()) == 1.0
+
+    def test_repeat_same_position_is_stable(self):
+        eng = make_engine()
+        sess = DevicePaintSession(eng, 128, 128, feature_blending_level=1)
+        opts = GanBrushOptions()
+        opts.set_style(eng.random_style(5), 5)
+        p = stroke_patch(eng.patch_width, seed=1)
+        img1, _ = sess.render_stroke(p, opts, x=32, y=32)
+        img2, _ = sess.render_stroke(p, opts, x=32, y=32)
+        diff = np.abs(img1.astype(int) - img2.astype(int)).mean()
+        assert diff < 8.0
+
+    def test_positions_do_not_retrace(self):
+        """Different positions must reuse the same compiled program."""
+        from brushstroke_engine_tpu.engine.device_canvas import \
+            render_stroke_step
+        eng = make_engine()
+        sess = DevicePaintSession(eng, 256, 256, feature_blending_level=1)
+        opts = GanBrushOptions()
+        opts.set_style(eng.random_style(5), 5)
+        p = stroke_patch(eng.patch_width, seed=2)
+        sess.render_stroke(p, opts, x=0, y=0)
+        n0 = render_stroke_step._cache_size()
+        sess.render_stroke(p, opts, x=64, y=128)
+        sess.render_stroke(p, opts, x=192, y=32)
+        assert render_stroke_step._cache_size() == n0
+
+    def test_color_override(self):
+        eng = make_engine()
+        sess = DevicePaintSession(eng, 64, 64, feature_blending_level=1)
+        opts = GanBrushOptions()
+        opts.set_style(eng.random_style(5), 5)
+        p = stroke_patch(eng.patch_width, seed=3)
+        base, _ = sess.render_stroke(p, opts, x=0, y=0)
+        opts.set_color(0, np.asarray([255, 0, 0], np.uint8))
+        red, _ = sess.render_stroke(p, opts, x=0, y=0)
+        assert not np.array_equal(base, red)
