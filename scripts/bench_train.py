@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Secondary benchmark: GAN training throughput (imgs/sec/chip).
+
+Runs the fused train step (Dmain + lazy R1 + Gmain + lazy path-length, with
+ADA augmentation and geometry losses) at the flagship 128px configuration,
+chained on-device so the number reflects chip throughput.  The reference
+trains ~10000 kimg in ~2 weeks on one GPU (~8.3 imgs/s, README.md:106);
+this prints our imgs/sec and the projected wall-clock for the same run.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--resolution", type=int, default=128)
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--steps", type=int, default=8)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from brushstroke_engine_tpu.ops.precision import set_precision_mode
+    from brushstroke_engine_tpu.flagship import (
+        flagship_bundle, flagship_discriminator_config,
+    )
+    from brushstroke_engine_tpu.train.state import (
+        TrainConfig, init_train_state,
+    )
+    from brushstroke_engine_tpu.train.augment import AugmentConfig
+    from brushstroke_engine_tpu.train import steps as ts
+
+    set_precision_mode("fast")
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        b = flagship_bundle(img_resolution=args.resolution)
+        cfg = TrainConfig(
+            gen_cfg=b.gen_cfg,
+            disc_cfg=flagship_discriminator_config(args.resolution),
+            enc_cfg=b.enc_cfg, enc_res=(0, 1), batch_size=args.batch,
+            main_phase_losses="", geom_phase_losses="1.0*iou_inv(uvs)",
+            augment=AugmentConfig.from_spec("bgc"),
+            g_reg_interval=4, d_reg_interval=16)
+        state = init_train_state(cfg, jax.random.PRNGKey(0),
+                                 g_params=b.gen_params, g_state=b.gen_state)
+    dev = jax.devices()[0]
+    state, ep, es = jax.device_put((state, b.enc_params, b.enc_state), dev)
+
+    n = args.batch
+    r = args.resolution
+    rng = np.random.RandomState(0)
+    real = jax.device_put(jnp.asarray(rng.randn(n, r, r, 3), jnp.float32),
+                          dev)
+    geom = jax.device_put(jnp.asarray(
+        (rng.rand(n, r, r, 1) > 0.5), jnp.float32), dev)
+
+    d_main = ts.d_main_step.__wrapped__
+    d_reg = ts.d_reg_step.__wrapped__
+    g_main = ts.g_main_step.__wrapped__
+    g_reg = ts.g_reg_step.__wrapped__
+
+    @jax.jit
+    def run_steps(state, real, geom, key):
+        feats = ts.encode_geometry(cfg, ep, es, geom)
+
+        def body(i, carry):
+            state, key = carry
+            key, k1, k2, k3, k4, kz1, kz2 = jax.random.split(key, 7)
+            z1 = jax.random.normal(kz1, (n, cfg.gen_cfg.z_dim))
+            z2 = jax.random.normal(kz2, (n, cfg.gen_cfg.z_dim))
+            state, _ = d_main(cfg, state, real, feats, z1, k1)
+
+            def dreg(s):
+                s2, _ = d_reg(cfg, s, real, k2)
+                return s2
+
+            state = jax.lax.cond(i % cfg.d_reg_interval == 0, dreg,
+                                 lambda s: s, state)
+            state, _ = g_main(cfg, state, feats, geom, z2, k3,
+                              jnp.float32(0.999))
+
+            def greg(s):
+                s2, _ = g_reg(cfg, s, feats, z2, k4, jnp.float32(0.999))
+                return s2
+
+            state = jax.lax.cond(i % cfg.g_reg_interval == 0, greg,
+                                 lambda s: s, state)
+            return state, key
+
+        state, _ = jax.lax.fori_loop(0, args.steps, body,
+                                     (state, key))
+        return state
+
+    state2 = run_steps(state, real, geom, jax.random.PRNGKey(1))
+    float(jax.tree_util.tree_leaves(state2["g_params"])[0].sum())  # sync
+
+    t0 = time.perf_counter()
+    state3 = run_steps(state2, real, geom, jax.random.PRNGKey(2))
+    float(jax.tree_util.tree_leaves(state3["g_params"])[0].sum())
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = args.batch * args.steps / dt
+    days_for_10000kimg = 10000e3 / imgs_per_sec / 86400
+    print(json.dumps({
+        "metric": f"train imgs/sec/chip ({args.resolution}px, batch "
+                  f"{args.batch}, full phase cycle)",
+        "value": round(imgs_per_sec, 1),
+        "projected_days_for_10000kimg": round(days_for_10000kimg, 2),
+        "reference": "~2 weeks on 1 GPU (README.md:106)",
+    }))
+
+
+if __name__ == "__main__":
+    main()
