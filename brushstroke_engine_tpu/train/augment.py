@@ -18,8 +18,8 @@ reference train.py:446-457):
   * color: brightness, contrast, luma flip, hue rotation, saturation via a
     homogeneous 4x4 color matrix (exact reference math).
   * noise: additive half-normal gaussian; cutout: random 0.5-size rectangle.
-  * imgfilter: NOT yet implemented (only used by 'bgcf*' configs); applying
-    it raises.
+  * imgfilter: 4-band sym2 wavelet amplification with 1/f power
+    normalization (reference augment.py:170-179, 372-401).
 """
 
 from __future__ import annotations
@@ -56,6 +56,7 @@ class AugmentConfig:
     hue_max: float = 1.0
     saturation_std: float = 1.0
     imgfilter: float = 0.0
+    imgfilter_std: float = 1.0
     noise: float = 0.0
     cutout: float = 0.0
     noise_std: float = 0.1
@@ -76,6 +77,18 @@ class AugmentConfig:
             "bgc": dict(xflip=1, rotate90=1, xint=1, scale=1, rotate=1,
                         aniso=1, xfrac=1, brightness=1, contrast=1,
                         lumaflip=1, hue=1, saturation=1),
+            "filter": dict(imgfilter=1),
+            "bgcf": dict(xflip=1, rotate90=1, xint=1, scale=1, rotate=1,
+                         aniso=1, xfrac=1, brightness=1, contrast=1,
+                         lumaflip=1, hue=1, saturation=1, imgfilter=1),
+            "bgcfn": dict(xflip=1, rotate90=1, xint=1, scale=1, rotate=1,
+                          aniso=1, xfrac=1, brightness=1, contrast=1,
+                          lumaflip=1, hue=1, saturation=1, imgfilter=1,
+                          noise=1),
+            "bgcfnc": dict(xflip=1, rotate90=1, xint=1, scale=1, rotate=1,
+                           aniso=1, xfrac=1, brightness=1, contrast=1,
+                           lumaflip=1, hue=1, saturation=1, imgfilter=1,
+                           noise=1, cutout=1),
             "bgcn": dict(xflip=1, rotate90=1, xint=1, scale=1, rotate=1,
                          aniso=1, xfrac=1, brightness=1, contrast=1,
                          lumaflip=1, hue=1, saturation=1, noise=1),
@@ -84,8 +97,7 @@ class AugmentConfig:
                           lumaflip=1, hue=1, saturation=1, noise=1, cutout=1),
         }
         if name not in specs:
-            raise ValueError(f"unknown/unsupported augpipe spec {name!r} "
-                             f"(imgfilter configs not yet implemented)")
+            raise ValueError(f"unknown augpipe spec {name!r}")
         return AugmentConfig(**{k: float(v) for k, v in specs[name].items()})
 
 
@@ -273,8 +285,7 @@ def augment_pipe(cfg: AugmentConfig, rng, images, p):
         images = flat.reshape(b, h, w, 3)
 
     if cfg.imgfilter > 0:
-        raise NotImplementedError(
-            "imgfilter augmentation not yet implemented (bgcf* configs)")
+        images = _imgfilter(cfg, next(ki), images, p)
 
     # ---------------- noise + cutout ---------------------------------------
     if cfg.noise > 0:
@@ -295,6 +306,75 @@ def augment_pipe(cfg: AugmentConfig, rng, images, p):
         images = images * (1.0 - cut)[..., None]
 
     return images
+
+
+def _sym2_filter_bank() -> np.ndarray:
+    """4-band orthogonal filter bank from the sym2 wavelet
+    (reference augment.py:170-179): band i = i lowpass halvings followed by
+    one highpass, materialized as zero-stuffed convolutions."""
+    import scipy.signal
+    hz_lo = np.asarray([-0.12940952255092145, 0.22414386804185735,
+                        0.836516303737469, 0.48296291314469025])
+    hz_hi = hz_lo * ((-1.0) ** np.arange(hz_lo.size))
+    hz_lo2 = np.convolve(hz_lo, hz_lo[::-1]) / 2.0
+    hz_hi2 = np.convolve(hz_hi, hz_hi[::-1]) / 2.0
+    fbank = np.eye(4, 1)
+    for i in range(1, fbank.shape[0]):
+        fbank = np.dstack([fbank, np.zeros_like(fbank)]).reshape(
+            fbank.shape[0], -1)[:, :-1]
+        fbank = scipy.signal.convolve(fbank, [hz_lo2])
+        lo = (fbank.shape[1] - hz_hi2.size) // 2
+        fbank[i, lo:lo + hz_hi2.size] += hz_hi2
+    return fbank.astype(np.float32)
+
+
+_IMGFILTER_BANDS = (1.0, 1.0, 1.0, 1.0)
+
+
+def _imgfilter(cfg: AugmentConfig, rng, images, p):
+    """Frequency-band amplification (reference augment.py:372-401): amplify
+    each of 4 wavelet bands with lognormal gain, power-normalized against the
+    expected 1/f spectrum, applied as a separable per-sample FIR filter."""
+    b, h, w, c = images.shape
+    fbank = jnp.asarray(_sym2_filter_bank())          # [4, taps]
+    num_bands = fbank.shape[0]
+    expected_power = jnp.asarray(np.array([10, 1, 1, 1]) / 13.0)
+
+    keys = jax.random.split(rng, 2 * num_bands)
+    g = jnp.ones((b, num_bands))
+    for i, band_strength in enumerate(_IMGFILTER_BANDS):
+        t_i = jnp.exp2(jax.random.normal(keys[2 * i], (b,))
+                       * cfg.imgfilter_std)
+        apply = _bernoulli(keys[2 * i + 1], (b,),
+                           cfg.imgfilter * p * band_strength)
+        t_i = jnp.where(apply > 0, t_i, 1.0)
+        t = jnp.ones((b, num_bands)).at[:, i].set(t_i)
+        t = t / jnp.sqrt(jnp.sum(expected_power * jnp.square(t), axis=-1,
+                                 keepdims=True))
+        g = g * t
+
+    hz_prime = g @ fbank                              # [B, taps]
+    taps = fbank.shape[1]
+    pad = taps // 2
+    x = jnp.pad(images, ((0, 0), (pad, pad), (pad, pad), (0, 0)),
+                mode="reflect")
+    # Separable per-sample depthwise filtering via batched einsum windows:
+    # rows pass then cols pass, vectorized with conv by moving the batch
+    # filter into a grouped conv over (b*c) channels.
+    xbc = jnp.moveaxis(x, 0, -2).reshape(1, x.shape[1], x.shape[2],
+                                         b * c)       # [1, H', W', B*C]
+    kern = jnp.repeat(hz_prime, c, axis=0)            # [B*C, taps]
+    krow = kern.T[:, None, None, :]                   # [taps, 1, 1, B*C]
+    kcol = kern.T[None, :, None, :]                   # [1, taps, 1, B*C]
+    y = jax.lax.conv_general_dilated(
+        xbc, krow, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=b * c)
+    y = jax.lax.conv_general_dilated(
+        y, kcol, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=b * c)
+    return jnp.moveaxis(y.reshape(h, w, b, c), -2, 0)
 
 
 def _rotation_about_axis(axis, theta):

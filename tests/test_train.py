@@ -142,6 +142,16 @@ class TestAugment:
         assert not np.allclose(np.asarray(y), np.asarray(x))
         assert np.all(np.isfinite(np.asarray(y)))
 
+    def test_imgfilter_spec(self):
+        cfg = AugmentConfig.from_spec("bgcf")
+        x = jax.random.normal(KEY, (2, 16, 16, 3))
+        y = augment_pipe(cfg, jax.random.PRNGKey(2), x, jnp.float32(1.0))
+        assert y.shape == x.shape
+        assert np.all(np.isfinite(np.asarray(y)))
+        # p=0: the orthogonal band sum is an exact identity filter.
+        y0 = augment_pipe(cfg, jax.random.PRNGKey(2), x, jnp.float32(0.0))
+        np.testing.assert_allclose(np.asarray(y0), np.asarray(x), atol=1e-4)
+
     def test_jit_with_traced_p(self):
         cfg = AugmentConfig.from_spec("bgcnc")
 
