@@ -185,11 +185,27 @@ def g_reg_step(cfg: TrainConfig, state, geom_feats, z, rng, ema_beta):
     geom_feats = [f[:bs] for f in geom_feats]
     k_g, k_noise_img = jax.random.split(rng)
 
+    k_mix1, k_mix2, k_mix3 = jax.random.split(jax.random.fold_in(rng, 77), 3)
+
     def loss_fn(g_params):
         # Map z -> ws explicitly so we can differentiate w.r.t. ws.
         from brushstroke_engine_tpu.models.mapping import mapping_apply
         ws, _ = mapping_apply(cfg.gen_cfg.mapping, g_params["mapping"], z,
                               None, w_avg=state["w_avg"])
+        if cfg.style_mixing_prob > 0:
+            # The reference's Gpl runs G with default style mixing
+            # (loss_modified.py:210 run_G); PL grads are w.r.t. mixed ws.
+            num_ws = ws.shape[1]
+            cutoff = jax.random.randint(k_mix1, (), 1, num_ws)
+            cutoff = jnp.where(
+                jax.random.uniform(k_mix2, ()) < cfg.style_mixing_prob,
+                cutoff, num_ws)
+            ws2, _ = mapping_apply(
+                cfg.gen_cfg.mapping, g_params["mapping"],
+                jax.random.normal(k_mix3, z.shape, z.dtype), None,
+                w_avg=state["w_avg"])
+            idx = jnp.arange(num_ws)[None, :, None]
+            ws = jnp.where(idx < cutoff, ws, ws2)
 
         def synth(ws_in):
             img, _, _ = generator_apply(

@@ -237,6 +237,41 @@ class TestPhases:
         assert float(state["ada_p"]) > 0
 
 
+class TestOrigFormat:
+    def test_orig_color_format_training_steps(self):
+        """The vanilla StyleGAN2 mode (color_format='orig', skip arch, no
+        geometry) trains through the same phase functions."""
+        from brushstroke_engine_tpu.models.generator import (
+            make_generator_config, generator_init,
+        )
+        gen_cfg = make_generator_config(
+            z_dim=16, w_dim=16, img_resolution=32, color_format="orig",
+            architecture="skip", channel_base=2048, channel_max=32)
+        g_params, g_state = generator_init(gen_cfg, KEY)
+        b = small_bundle()
+        cfg = TrainConfig(
+            gen_cfg=gen_cfg,
+            disc_cfg=DiscriminatorConfig(c_dim=0, img_resolution=32,
+                                         img_channels=3, channel_base=2048,
+                                         channel_max=32),
+            enc_cfg=b.enc_cfg, enc_res=(), batch_size=2,
+            main_phase_losses="", geom_phase_losses="")
+        state = init_train_state(cfg, KEY, g_params=g_params,
+                                 g_state=g_state)
+        real = jax.random.normal(KEY, (2, 32, 32, 3))
+        z = jax.random.normal(KEY, (2, 16))
+        state, s = train_steps.d_main_step(cfg, state, real, [], z,
+                                           jax.random.PRNGKey(1))
+        state, s2 = train_steps.g_main_step(cfg, state, [], None, z,
+                                            jax.random.PRNGKey(2),
+                                            jnp.float32(0.99))
+        state, s3 = train_steps.g_reg_step(cfg, state, [], z,
+                                           jax.random.PRNGKey(3),
+                                           jnp.float32(0.99))
+        for d in (s, s2, s3):
+            assert all(np.isfinite(float(v)) for v in d.values())
+
+
 class TestStitching:
     def test_translate_image(self):
         img = jnp.asarray(
