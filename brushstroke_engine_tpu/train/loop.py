@@ -45,7 +45,13 @@ class TrainingLoop:
     def __init__(self, cfg: TrainConfig, enc_params, enc_state,
                  style_iter, geom_iter, run_dir: str,
                  seed: int = 0, hooks: Optional[LoopHooks] = None,
-                 resume_state=None):
+                 resume_state=None, auto_resume: bool = False,
+                 debug_nans: bool = False, profile_phases: bool = False):
+        if debug_nans:
+            # Analog of the reference's grad-anomaly debugging hooks
+            # (SURVEY.md section 5.2); catches non-finite values at source.
+            jax.config.update("jax_debug_nans", True)
+        self.profile_phases = profile_phases
         self.cfg = cfg
         self.enc_params = enc_params
         self.enc_state = enc_state
@@ -75,6 +81,8 @@ class TrainingLoop:
         self.cur_tick = 0
         self.stats_path = os.path.join(run_dir, "stats.jsonl")
         self._last_stats: Dict[str, float] = {}
+        if auto_resume and resume_state is None:
+            self.load_train_state()
 
     # ------------------------------------------------------------------
 
@@ -120,11 +128,19 @@ class TrainingLoop:
         return style, tri, crop1, geom_input, geom_truth
 
     def run(self, total_kimg: Optional[int] = None,
-            exit_after_warmstart: bool = False):
+            exit_after_warmstart: bool = False,
+            progress_fn: Optional[Callable] = None,
+            abort_fn: Optional[Callable] = None):
+        """Train until total_kimg.  ``progress_fn(cur_nimg, total_kimg*1000)``
+        is called per tick and ``abort_fn() -> bool`` is polled per tick
+        (reference abort/progress callbacks,
+        training_loop_modified.py:119-120, 545-549)."""
         cfg = self.cfg
         total_kimg = total_kimg if total_kimg is not None else cfg.total_kimg
         tick_start_nimg = self.cur_nimg
         tick_start_time = time.time()
+        if progress_fn is not None:
+            progress_fn(self.cur_nimg, total_kimg * 1000)
 
         while True:
             warm = self.in_warmstart()
@@ -134,10 +150,18 @@ class TrainingLoop:
                 cfg, self.enc_params, self.enc_state, jnp.asarray(geom_input))
             geom_truth_j = jnp.asarray(geom_truth)
             stats: Dict[str, float] = {}
+            phase_t0 = [time.time()]
 
-            def note(s):
+            def note(s, phase=None):
                 for k, v in s.items():
                     stats[k] = float(v)
+                if self.profile_phases and phase is not None:
+                    # float() above forced completion of the phase's stats,
+                    # so wall-clock deltas approximate per-phase device time
+                    # (reference Timing/<phase> scalars, loop :624-631).
+                    now = time.time()
+                    stats[f"Timing/{phase}"] = now - phase_t0[0]
+                    phase_t0[0] = now
 
             ema_beta = self._ema_beta()
 
@@ -147,7 +171,7 @@ class TrainingLoop:
                 self.state, s = self.warm_step(
                     self.state, feats, geom_truth_j, z, self._next_rng(),
                     ema_beta)
-                note(s)
+                note(s, "Ggeom-warm")
             else:
                 # Dmain
                 z = jnp.asarray(self.rng.standard_normal(
@@ -155,21 +179,21 @@ class TrainingLoop:
                 self.state, s = train_steps.d_main_step(
                     cfg, self.state, jnp.asarray(style), feats, z,
                     self._next_rng())
-                note(s)
+                note(s, "Dmain")
                 # Dreg
                 if cfg.d_reg_interval > 0 and \
                         self.batch_idx % cfg.d_reg_interval == 0:
                     self.state, s = train_steps.d_reg_step(
                         cfg, self.state, jnp.asarray(style),
                         self._next_rng())
-                    note(s)
+                    note(s, "Dreg")
                 # Gmain
                 z = jnp.asarray(self.rng.standard_normal(
                     (cfg.batch_size, cfg.gen_cfg.z_dim)), jnp.float32)
                 self.state, s = train_steps.g_main_step(
                     cfg, self.state, feats, geom_truth_j, z,
                     self._next_rng(), ema_beta)
-                note(s)
+                note(s, "Gmain")
                 # Greg (path length)
                 if cfg.g_reg_interval > 0 and \
                         self.batch_idx % cfg.g_reg_interval == 0:
@@ -178,7 +202,7 @@ class TrainingLoop:
                     self.state, s = train_steps.g_reg_step(
                         cfg, self.state, feats, z, self._next_rng(),
                         ema_beta)
-                    note(s)
+                    note(s, "Greg")
                 # Gstitch
                 if self.stitch_step is not None and \
                         self.batch_idx % cfg.stitch_interval == 0:
@@ -195,7 +219,7 @@ class TrainingLoop:
                         self.state, feats, feats2, z,
                         jnp.asarray(crop1), jnp.asarray(crop2),
                         self._next_rng(), ema_beta)
-                    note(s)
+                    note(s, "Gstitch")
                 # Ggeom
                 if self.geom_step is not None and \
                         self.batch_idx % cfg.geom_interval == 0:
@@ -204,7 +228,7 @@ class TrainingLoop:
                     self.state, s = self.geom_step(
                         self.state, feats, geom_truth_j, z,
                         self._next_rng(), ema_beta)
-                    note(s)
+                    note(s, "Ggeom")
                 # ADA p adjustment.
                 if cfg.augment is not None and \
                         self.batch_idx % cfg.ada_interval == 0 and \
@@ -239,6 +263,11 @@ class TrainingLoop:
                         {k: round(v, 4) for k, v in list(stats.items())[:6]})
             if self.hooks.on_tick is not None:
                 self.hooks.on_tick(self, stats)
+            if progress_fn is not None:
+                progress_fn(self.cur_nimg, total_kimg * 1000)
+            if abort_fn is not None and abort_fn():
+                logger.info("Aborting at user request (abort_fn)")
+                done = True
 
             snap_path = self.save_snapshot()
             self.save_train_state()
