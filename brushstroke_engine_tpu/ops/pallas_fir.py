@@ -1,0 +1,201 @@
+"""Pallas kernel: fused FIR + modconv epilogue for upsampling layers.
+
+In the up-sampling synthesis layers the op chain after the dilated conv is
+
+    FIR smooth (depthwise 4x4, gain 4) -> demod scale -> [+ noise] -> + bias
+    -> leaky_relu * gain -> clamp
+
+This kernel runs the chain in ONE pass over HBM: each grid program DMAs a
+row-tile (+halo) into VMEM, applies both separable FIR passes as
+sublane/lane rolls, then the epilogue, and writes the tile.
+
+MEASURED RESULT (TPU v5e, B=16 256px 64ch bf16): the kernel is numerically
+exact (rel err ~2e-7) but runs at 0.93x of the plain XLA composition --
+XLA already fuses the depthwise FIR with the elementwise epilogue into
+near-bandwidth-limited code.  This validates the codebase's design stance
+(ops as fusable XLA forms first; Pallas only where a measured win exists),
+so the kernel ships DISABLED by default as a documented reference
+implementation and harness for future Mosaic versions.
+
+Mosaic constraints encountered (this toolchain): DMA slices reject 64-lane
+minor dims (want multiples of 128), sublane slice offsets must be 8-aligned
+(hence the roll-based taps), and lane-dim shape casts ((.., W, C) <->
+(.., W*C)) are unsupported -- which also rules out fusing the per-pixel
+noise broadcast into the flattened-lane layout; the kernel therefore covers
+the noise-free epilogue and falls back otherwise.
+
+Enable with :func:`set_pallas_fir_enabled`; training keeps the XLA
+composition so arbitrary-order autodiff (R1/PL) stays native.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+_ENABLED = False
+
+
+def set_pallas_fir_enabled(enabled: bool):
+    global _ENABLED
+    _ENABLED = bool(enabled)
+
+
+def pallas_fir_enabled() -> bool:
+    return _ENABLED
+
+
+def _pick_tile(h: int) -> int:
+    for t in (32, 16, 8):
+        if h % t == 0:
+            return t
+    return 0
+
+
+def fir4_epilogue_reference(x, f, dcoefs, noise, bias, act_gain: float,
+                            clamp: Optional[float], alpha: float = 0.2,
+                            fir_gain: float = 4.0):
+    """Composed-ops reference (the spec this kernel must match).
+
+    x: [B, H+3, W+3, C] conv output (pre-FIR); f: [4,4] filter (unflipped
+    convolution taps); dcoefs [B, C]; noise [B, H, W, 1] or None;
+    bias [C].  Returns [B, H, W, C].
+    """
+    k = jnp.asarray(f[::-1, ::-1] * fir_gain, x.dtype)
+    c = x.shape[-1]
+    kernel = jnp.broadcast_to(k[:, :, None, None], (4, 4, 1, c))
+    y = jax.lax.conv_general_dilated(
+        x, kernel, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+        preferred_element_type=jnp.float32).astype(jnp.float32)
+    y = y * dcoefs[:, None, None, :]
+    if noise is not None:
+        y = y + noise
+    y = y + bias[None, None, None, :]
+    y = jnp.where(y >= 0, y, alpha * y) * act_gain
+    if clamp is not None:
+        y = jnp.clip(y, -clamp, clamp)
+    return y
+
+
+def fir4_epilogue(x, f, dcoefs, noise, bias, act_gain: float,
+                  clamp: Optional[float], alpha: float = 0.2,
+                  fir_gain: float = 4.0):
+    """Fused Pallas version; same contract as the reference above."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, hp, wp, c = x.shape
+    h, w = hp - 3, wp - 3
+    tile = _pick_tile(h)
+    if tile == 0:
+        return fir4_epilogue_reference(x, f, dcoefs, noise, bias, act_gain,
+                                       clamp, alpha, fir_gain)
+
+    taps = np.asarray(f, np.float32)[::-1, ::-1] * fir_gain  # correlation
+    # Mosaic constrains sublane-dim slice offsets to multiples of 8, so the
+    # column taps are applied with pltpu.roll; exploiting separability keeps
+    # that to 4 rolls (the binomial [1,3,3,1] filter is rank-1).
+    u, sv, vt = np.linalg.svd(taps)
+    if sv[1] > 1e-5 * max(sv[0], 1e-20):
+        return fir4_epilogue_reference(x, f, dcoefs, noise, bias, act_gain,
+                                       clamp, alpha, fir_gain)
+    f_row = (u[:, 0] * np.sqrt(sv[0])).astype(np.float32)
+    f_col = (vt[0] * np.sqrt(sv[0])).astype(np.float32)
+    # Fix sign so both factors are positive-dominant.
+    if f_row.sum() < 0:
+        f_row, f_col = -f_row, -f_col
+
+    if noise is not None:
+        # Per-pixel noise cannot be broadcast across flattened lanes under
+        # this Mosaic version (no lane shape casts); see module docstring.
+        return fir4_epilogue_reference(x, f, dcoefs, noise, bias, act_gain,
+                                       clamp, alpha, fir_gain)
+    clamp_v = float("inf") if clamp is None else float(clamp)
+    have_noise = False
+    noise = jnp.zeros((b, h, w, 1), jnp.float32)
+
+    # Layout strategy for Mosaic's alignment rules (sublane slices multiple
+    # of 8, lane extents multiple of 128, which a 64-channel minor dim
+    # violates): flatten (W, C) into the lane dimension -- W*C is
+    # 128-aligned -- and apply BOTH separable passes as lane/sublane rolls.
+    # The DMA'd halo window is rows-padded to a multiple of 8.
+    if (w * c) % 128 != 0:
+        return fir4_epilogue_reference(x, f, dcoefs, noise, bias, act_gain,
+                                       clamp, alpha, fir_gain)
+    halo_rows = tile + 8                       # 8-aligned window (>= tile+3)
+    hp_pad = h + 8
+    wp_pad = -(-wp // 8) * 8
+    pads = ((0, 0), (0, hp_pad - hp), (0, wp_pad - wp), (0, 0))
+    x = jnp.pad(x, pads)
+    x_flat = x.reshape(b, hp_pad, wp_pad * c)
+    lanes = wp_pad * c
+    out_lanes = w * c
+    noise_hw = noise.reshape(b, h, w)
+    d_tiled = jnp.tile(dcoefs.astype(jnp.float32), (1, w))     # [B, w*c]
+    bias_tiled = jnp.tile(bias.astype(jnp.float32), (w,))      # [w*c]
+
+    def kernel(x_hbm, d_ref, n_ref, b_ref, o_ref):
+        bi = pl.program_id(0)
+        i = pl.program_id(1)
+
+        def inner(scratch, sem):
+            cp = pltpu.make_async_copy(
+                x_hbm.at[bi, pl.ds(i * tile, halo_rows)], scratch, sem)
+            cp.start()
+            cp.wait()
+            xt = scratch[...].astype(jnp.float32)      # [halo, lanes]
+            # Rows pass: sublane rolls (wrapped-in garbage lands in rows
+            # >= halo-3, beyond the tile rows we keep).
+            tmp = None
+            for dy in range(4):
+                sh = pltpu.roll(xt, halo_rows - dy, 0) if dy else xt
+                piece = sh * float(f_row[dy])
+                tmp = piece if tmp is None else tmp + piece
+            # Cols pass: lane rolls by dx*c (garbage lanes >= (wp-3)*c).
+            acc = None
+            for dx in range(4):
+                sh = pltpu.roll(tmp, lanes - dx * c, 1) if dx else tmp
+                piece = sh * float(f_col[dx])
+                acc = piece if acc is None else acc + piece
+            y = acc[:tile, :out_lanes]
+            y = y * d_ref[bi][None, :]
+            if have_noise:
+                # Per-pixel noise expanded across the c consecutive lanes of
+                # each pixel (jnp.repeat lowers to broadcast + minor-dims
+                # collapse, which Mosaic supports on values).
+                y = y + jnp.repeat(n_ref[0], c, axis=1)
+            y = y + b_ref[:][None, :]
+            y = jnp.where(y >= 0, y, alpha * y) * act_gain
+            y = jnp.clip(y, -clamp_v, clamp_v)
+            o_ref[0] = y.astype(o_ref.dtype)
+
+        pl.run_scoped(
+            inner,
+            scratch=pltpu.VMEM((halo_rows, lanes), x_hbm.dtype),
+            sem=pltpu.SemaphoreType.DMA(()))
+
+    grid = (b, h // tile)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),      # x_flat (manual DMA)
+            pl.BlockSpec(memory_space=pltpu.VMEM),     # d_tiled whole
+            pl.BlockSpec((1, tile, w), lambda bi, i: (bi, i, 0),
+                         memory_space=pltpu.VMEM),     # noise rows
+            pl.BlockSpec((out_lanes,), lambda bi, i: (0,),
+                         memory_space=pltpu.VMEM),     # bias_tiled
+        ],
+        out_specs=pl.BlockSpec((1, tile, out_lanes),
+                               lambda bi, i: (bi, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, out_lanes), jnp.float32),
+    )(x_flat, d_tiled, noise_hw.astype(jnp.float32), bias_tiled)
+    return out.reshape(b, h, w, c)
