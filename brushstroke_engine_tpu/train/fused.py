@@ -1,0 +1,130 @@
+"""Fused single-dispatch training step.
+
+The reference's phase loop issues one optimizer pass per phase per batch
+(training_loop_modified.py:413-496).  The phase-by-phase functions in
+steps.py mirror that; this module additionally fuses the WHOLE batch cycle --
+warmstart switch, Dmain, lazy Dreg(R1), Gmain, lazy Greg(PL), interval Ggeom,
+and the ADA p controller -- into ONE jitted program with ``lax.cond``
+branches, so a training batch is a single device dispatch (and a single
+compile).  This is the production shape of the trainer: the host only feeds
+data and reads scalars.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from brushstroke_engine_tpu.train.state import TrainConfig
+from brushstroke_engine_tpu.train import steps as ts
+
+
+def _nan_like_shapes(shape_dict) -> Dict:
+    return {k: jnp.full(v.shape, jnp.nan, v.dtype)
+            for k, v in shape_dict.items()}
+
+
+def make_fused_train_step(cfg: TrainConfig):
+    """Returns step(state, enc_params, enc_state, real_img, geom_input,
+    geom_truth, rng, batch_idx, warm, ema_beta) -> (state, stats).
+
+    ``warm`` is a traced bool selecting the warmstart branch; ``batch_idx``
+    drives lazy-regularization and Ggeom intervals.  Stats always contain
+    every phase's keys; phases that did not run this step report NaN.
+    """
+    warm_step = ts.make_geom_step(cfg, warmstart=True).__wrapped__ \
+        if cfg.geom_warmstart_kimg > 0 else None
+    geom_step = ts.make_geom_step(cfg, warmstart=False).__wrapped__ \
+        if cfg.geom_interval > 0 and cfg.losses("geom").items else None
+    d_main = ts.d_main_step.__wrapped__
+    d_reg = ts.d_reg_step.__wrapped__
+    g_main = ts.g_main_step.__wrapped__
+    g_reg = ts.g_reg_step.__wrapped__
+    ada = ts.ada_update.__wrapped__
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state, enc_params, enc_state, real_img, geom_input, geom_truth,
+             rng, batch_idx, warm, ema_beta):
+        feats = ts.encode_geometry(cfg, enc_params, enc_state, geom_input)
+        k = jax.random.split(rng, 8)
+        n = real_img.shape[0]
+        zdim = cfg.gen_cfg.z_dim
+        z1 = jax.random.normal(k[5], (n, zdim))
+        z2 = jax.random.normal(k[6], (n, zdim))
+        z3 = jax.random.normal(k[7], (n, zdim))
+
+        # Phase thunks (state -> (state, stats)).
+        def t_dmain(s):
+            return d_main(cfg, s, real_img, feats, z1, k[0])
+
+        def t_dreg(s):
+            return d_reg(cfg, s, real_img, k[1])
+
+        def t_gmain(s):
+            return g_main(cfg, s, feats, geom_truth, z2, k[2], ema_beta)
+
+        def t_greg(s):
+            return g_reg(cfg, s, feats, z2, k[3], ema_beta)
+
+        thunks = {"dmain": t_dmain, "dreg": t_dreg, "gmain": t_gmain,
+                  "greg": t_greg}
+        if geom_step is not None:
+            thunks["ggeom"] = lambda s: geom_step(s, feats, geom_truth, z3,
+                                                  k[4], ema_beta)
+        if warm_step is not None:
+            thunks["warm"] = lambda s: warm_step(s, feats, geom_truth, z1,
+                                                 k[4], ema_beta)
+
+        # Stats prototypes (shapes only; no compute).
+        protos = {name: jax.eval_shape(fn, state)[1]
+                  for name, fn in thunks.items()}
+        all_nan = {}
+        for p in protos.values():
+            all_nan.update(_nan_like_shapes(p))
+
+        def with_stats(partial_stats):
+            out = dict(all_nan)
+            out.update(partial_stats)
+            return out
+
+        def cond_phase(pred, fn, s):
+            return jax.lax.cond(
+                pred, fn,
+                lambda s_: (s_, _nan_like_shapes(jax.eval_shape(fn, s_)[1])),
+                s)
+
+        def main_branch(s):
+            s, st1 = t_dmain(s)
+            s, st2 = cond_phase(batch_idx % cfg.d_reg_interval == 0,
+                                t_dreg, s)
+            s, st3 = t_gmain(s)
+            s, st4 = cond_phase(batch_idx % cfg.g_reg_interval == 0,
+                                t_greg, s)
+            stats = {}
+            for d in (st1, st2, st3, st4):
+                stats.update(d)
+            if geom_step is not None:
+                s, st5 = cond_phase(batch_idx % cfg.geom_interval == 0,
+                                    thunks["ggeom"], s)
+                stats.update(st5)
+            if cfg.augment is not None:
+                s = jax.lax.cond(
+                    jnp.logical_and(batch_idx > 0,
+                                    batch_idx % cfg.ada_interval == 0),
+                    lambda s_: ada(cfg, s_, jnp.float32(
+                        cfg.batch_size * cfg.ada_interval)),
+                    lambda s_: s_, s)
+            return s, with_stats(stats)
+
+        def warm_branch(s):
+            s, st = thunks["warm"](s)
+            return s, with_stats(st)
+
+        if warm_step is None:
+            return main_branch(state)
+        return jax.lax.cond(warm, warm_branch, main_branch, state)
+
+    return step

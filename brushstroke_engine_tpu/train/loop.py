@@ -46,7 +46,8 @@ class TrainingLoop:
                  style_iter, geom_iter, run_dir: str,
                  seed: int = 0, hooks: Optional[LoopHooks] = None,
                  resume_state=None, auto_resume: bool = False,
-                 debug_nans: bool = False, profile_phases: bool = False):
+                 debug_nans: bool = False, profile_phases: bool = False,
+                 use_fused: bool = False):
         if debug_nans:
             # Analog of the reference's grad-anomaly debugging hooks
             # (SURVEY.md section 5.2); catches non-finite values at source.
@@ -75,6 +76,14 @@ class TrainingLoop:
             if cfg.stitch_interval > 0 and cfg.losses("stitch").items \
             else None
         self.stitcher = RandomStitcher()
+        self.fused_step = None
+        if use_fused:
+            from brushstroke_engine_tpu.train.fused import \
+                make_fused_train_step
+            self.fused_step = make_fused_train_step(cfg)
+            if self.stitch_step is not None:
+                logger.warning("fused step does not include Gstitch; the "
+                               "stitch phase still runs separately")
 
         self.cur_nimg = 0
         self.batch_idx = 0
@@ -165,7 +174,31 @@ class TrainingLoop:
 
             ema_beta = self._ema_beta()
 
-            if warm:
+            if self.fused_step is not None:
+                self.state, s = self.fused_step(
+                    self.state, self.enc_params, self.enc_state,
+                    jnp.asarray(style), jnp.asarray(geom_input),
+                    geom_truth_j, self._next_rng(),
+                    jnp.int32(self.batch_idx), jnp.bool_(warm), ema_beta)
+                stats.update({k: float(v) for k, v in s.items()
+                              if np.isfinite(float(v))})
+                if self.stitch_step is not None and not warm and \
+                        self.batch_idx % cfg.stitch_interval == 0:
+                    crop2 = self.stitcher.gen_overlapping_square_crop(
+                        tri_full.shape[1], crop1)
+                    g2 = tri_full[:, crop2[0]:crop2[0] + crop2[2],
+                                  crop2[1]:crop2[1] + crop2[3], 1:2]
+                    feats2 = train_steps.encode_geometry(
+                        cfg, self.enc_params, self.enc_state,
+                        jnp.asarray(g2))
+                    z = jnp.asarray(self.rng.standard_normal(
+                        (cfg.batch_size, cfg.gen_cfg.z_dim)), jnp.float32)
+                    self.state, s = self.stitch_step(
+                        self.state, feats, feats2, z,
+                        jnp.asarray(crop1), jnp.asarray(crop2),
+                        self._next_rng(), ema_beta)
+                    note(s, "Gstitch")
+            elif warm:
                 z = jnp.asarray(self.rng.standard_normal(
                     (cfg.batch_size, cfg.gen_cfg.z_dim)), jnp.float32)
                 self.state, s = self.warm_step(

@@ -88,6 +88,9 @@ def build_parser():
     ap.add_argument("--geom_input_channel", type=int, default=1)
     ap.add_argument("--geom_truth_channel", type=int, default=2)
     # Misc.
+    ap.add_argument("--fused", action="store_true",
+                    help="Single-dispatch fused train step (all phases in "
+                         "one jitted program; recommended on TPU).")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--metrics", default="fid,forger")
     ap.add_argument("--dry-run", action="store_true", dest="dry_run")
@@ -233,7 +236,8 @@ def main(argv=None):
         g_state = bundle.gen_state
 
     loop = TrainingLoop(cfg, enc_params, enc_state, style_iter, geom_iter,
-                        run_dir=run_dir, seed=args.seed)
+                        run_dir=run_dir, seed=args.seed,
+                        use_fused=args.fused)
     if g_params is not None:
         from brushstroke_engine_tpu.train.state import init_train_state
         import jax
