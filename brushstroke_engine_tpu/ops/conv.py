@@ -55,7 +55,11 @@ def _dense_conv(x, w, strides=(1, 1), padding=((0, 0), (0, 0)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
         precision=precision,
-        preferred_element_type=jnp.float32,
+        # bf16 convs accumulate in f32 in the MXU already; requesting an f32
+        # output dtype breaks the conv transpose rule under grad (dtype
+        # mismatch dY vs W), so only force it for f32 inputs.
+        preferred_element_type=jnp.float32 if x.dtype == jnp.float32
+        else None,
     )
     return out.astype(x.dtype)
 

@@ -113,7 +113,10 @@ def upfirdn2d(x, f, up=1, down=1, padding=0, flip_filter: bool = False,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=c,
         precision=precision,
-        preferred_element_type=jnp.float32,
+        # See ops/conv.py: f32 accumulation is implicit for bf16 on TPU, and
+        # an explicit f32 output dtype breaks the transpose rule under grad.
+        preferred_element_type=jnp.float32 if x.dtype == jnp.float32
+        else None,
     )
     return out.astype(x.dtype)
 

@@ -41,7 +41,9 @@ def main():
     set_precision_mode("fast")
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
-        b = flagship_bundle(img_resolution=args.resolution)
+        # num_bf16_res=4: reference 'auto' config trains with fp16 at the
+        # 4 highest resolutions (train.py cfg specs); bf16 is the TPU analog.
+        b = flagship_bundle(img_resolution=args.resolution, num_bf16_res=4)
         cfg = TrainConfig(
             gen_cfg=b.gen_cfg,
             disc_cfg=flagship_discriminator_config(args.resolution),
