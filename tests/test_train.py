@@ -152,6 +152,56 @@ class TestAugment:
         y0 = augment_pipe(cfg, jax.random.PRNGKey(2), x, jnp.float32(0.0))
         np.testing.assert_allclose(np.asarray(y0), np.asarray(x), atol=1e-4)
 
+    def test_twopass_warp_matches_gather(self):
+        """MXU two-pass warp agrees with the gather warp wherever the
+        sample coordinates stay in-bounds (reflected borders may
+        legitimately differ; see _affine_warp_twopass docstring)."""
+        from brushstroke_engine_tpu.train.augment import (
+            _affine_warp_gather, _affine_warp_twopass, _rot2, _scale2,
+            _translate2)
+
+        b, n = 4, 32
+        rng = np.random.RandomState(0)
+        # Smooth test images bound the sheared-kernel approximation error.
+        img = rng.randn(b, n, n, 3).astype(np.float32)
+        k = np.exp(-0.5 * (np.arange(-6, 7) / 2.5) ** 2)
+        k /= k.sum()
+        img = np.apply_along_axis(
+            lambda v: np.convolve(v, k, mode="same"), 1, img)
+        img = np.apply_along_axis(
+            lambda v: np.convolve(v, k, mode="same"), 2, img)
+        img = jnp.asarray(img)
+        std = float(np.asarray(img).std())
+
+        ctr = (n - 1) / 2.0
+        ys = jnp.arange(n, dtype=jnp.float32) - ctr
+        coords = jnp.stack(jnp.meshgrid(ys, ys, indexing="ij")[::-1]
+                           + [jnp.ones((n, n))], -1)
+
+        def inbounds(mat, margin=2.0):
+            src = jnp.einsum("bij,hwj->bhwi", mat, coords)
+            sx, sy = src[..., 0] + ctr, src[..., 1] + ctr
+            ok = ((sx >= margin) & (sx <= n - 1 - margin)
+                  & (sy >= margin) & (sy <= n - 1 - margin))
+            return np.asarray(ok)[..., None]
+
+        cases = {
+            "identity": jnp.tile(jnp.eye(3)[None], (b, 1, 1)),
+            "translate": _translate2(jnp.full((b,), 2.4),
+                                     jnp.full((b,), -1.7)),
+            "scale": _scale2(jnp.full((b,), 1.3), jnp.full((b,), 0.8)),
+            "rot90": _rot2(jnp.full((b,), np.pi / 2)),
+        }
+        for deg in (10.0, 45.0, 123.0, 269.0):
+            cases[f"rot{deg}"] = _rot2(jnp.full((b,), np.deg2rad(deg)))
+        exact = ("identity", "translate", "scale", "rot90")
+        for name, mat in cases.items():
+            g = np.asarray(_affine_warp_gather(img, mat))
+            t = np.asarray(_affine_warp_twopass(img, mat))
+            d = np.abs(g - t) * inbounds(mat)
+            tol = 1e-4 if name in exact else 0.15 * std
+            assert d.max() < tol, (name, d.max(), tol)
+
     def test_jit_with_traced_p(self):
         cfg = AugmentConfig.from_spec("bgcnc")
 
