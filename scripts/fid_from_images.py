@@ -30,17 +30,30 @@ def main():
     ap.add_argument("--resolution", type=int, default=128)
     ap.add_argument("--batch_size", type=int, default=32)
     ap.add_argument("--max_items", type=int, default=50000)
+    ap.add_argument("--pr", action="store_true",
+                    help="Also report improved precision/recall "
+                         "(Kynkaanniemi 2019, nhood_size=3).")
     args = ap.parse_args()
     logging.basicConfig(level=logging.INFO)
 
     from brushstroke_engine_tpu.metrics.fid import fid_from_image_iterables
-    fid = fid_from_image_iterables(
-        batches_from_path(args.images0, args.resolution, args.batch_size,
-                          args.max_items),
-        batches_from_path(args.images1, args.resolution, args.batch_size,
-                          args.max_items),
-        max_items=args.max_items)
+
+    def b0():
+        return batches_from_path(args.images0, args.resolution,
+                                 args.batch_size, args.max_items)
+
+    def b1():
+        return batches_from_path(args.images1, args.resolution,
+                                 args.batch_size, args.max_items)
+
+    fid = fid_from_image_iterables(b0(), b1(), max_items=args.max_items)
     print(f"FID: {fid:.4f}")
+    if args.pr:
+        from brushstroke_engine_tpu.metrics.pr import compute_pr_from_images
+        precision, recall = compute_pr_from_images(
+            b0(), b1(), max_items=args.max_items)
+        print(f"precision: {precision:.4f}")
+        print(f"recall: {recall:.4f}")
 
 
 if __name__ == "__main__":

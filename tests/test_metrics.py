@@ -143,6 +143,93 @@ class TestFid:
         np.testing.assert_allclose(cov, 0.0, atol=1e-9)
 
 
+class TestPrecisionRecall:
+    def test_identical_sets_are_perfect(self):
+        from brushstroke_engine_tpu.metrics.pr import compute_pr
+        rng = np.random.RandomState(0)
+        f = rng.randn(64, 16).astype(np.float32)
+        p, r = compute_pr(f, f.copy(), nhood_size=3, row_batch_size=16)
+        assert p == 1.0 and r == 1.0
+
+    def test_disjoint_clusters_are_zero(self):
+        from brushstroke_engine_tpu.metrics.pr import compute_pr
+        rng = np.random.RandomState(0)
+        real = rng.randn(48, 8).astype(np.float32)
+        gen = rng.randn(48, 8).astype(np.float32) + 100.0
+        p, r = compute_pr(real, gen, nhood_size=3, row_batch_size=32)
+        assert p == 0.0 and r == 0.0
+
+    def test_partial_overlap_matches_bruteforce(self):
+        """Chunked MXU path == direct numpy k-NN hypersphere coverage
+        (reference precision_recall.py:50-61 semantics, squared dists)."""
+        from brushstroke_engine_tpu.metrics.pr import compute_pr
+        rng = np.random.RandomState(1)
+        real = rng.randn(40, 6).astype(np.float32)
+        gen = np.concatenate([real[:20] + 0.01 * rng.randn(20, 6)
+                              .astype(np.float32),
+                              rng.randn(20, 6).astype(np.float32) + 8.0])
+        k = 3
+
+        def brute(manifold, probes):
+            d_mm = np.linalg.norm(manifold[:, None] - manifold[None], axis=-1)
+            kth = np.sort(d_mm, axis=1)[:, k]
+            d_pm = np.linalg.norm(probes[:, None] - manifold[None], axis=-1)
+            return float((d_pm <= kth[None]).any(1).mean())
+
+        p, r = compute_pr(real, gen, nhood_size=k, row_batch_size=16)
+        np.testing.assert_allclose(p, brute(real, gen), atol=1e-6)
+        np.testing.assert_allclose(r, brute(gen, real), atol=1e-6)
+
+    def test_from_images_and_vgg_detector(self):
+        from brushstroke_engine_tpu.metrics.pr import (
+            VGG16Features, compute_pr_from_images, vgg16_extract_features)
+        rng = np.random.RandomState(0)
+        imgs = (rng.rand(16, 32, 32, 3) * 255).astype(np.uint8)
+
+        def batches():
+            yield imgs[:8]
+            yield imgs[8:]
+
+        p, r = compute_pr_from_images(batches(), batches(), nhood_size=2)
+        assert p == 1.0 and r == 1.0
+        vgg = VGG16Features.random_init(0)
+        feats = vgg16_extract_features(imgs[:4], vgg)
+        assert feats.shape == (4, 512)
+        assert np.all(np.isfinite(np.asarray(feats)))
+
+    def test_vgg_from_torch_state_layout(self):
+        """torchvision vgg16 state-dict layout converts (OIHW->HWIO,
+        [out,in] fc -> [in,out])."""
+        from brushstroke_engine_tpu.metrics.pr import (
+            VGG16Features, vgg16_extract_features, _VGG_PLAN)
+        rng = np.random.RandomState(0)
+        state = {}
+        cin = 3
+        li = 0
+        for spec in _VGG_PLAN:
+            if spec == "M":
+                li += 1
+                continue
+            state[f"features.{li}.weight"] = rng.randn(
+                spec, cin, 3, 3).astype(np.float32) * 0.05
+            state[f"features.{li}.bias"] = np.zeros(spec, np.float32)
+            cin = spec
+            li += 2  # conv + relu
+        fin = 512 * 7 * 7
+        for i in (0, 3):
+            state[f"classifier.{i}.weight"] = rng.randn(
+                4096, fin).astype(np.float32) * 0.001
+            state[f"classifier.{i}.bias"] = np.zeros(4096, np.float32)
+            fin = 4096
+        vgg = VGG16Features.from_torch_state(state)
+        assert len(vgg.convs) == 13 and len(vgg.fcs) == 2
+        assert vgg.convs[0]["weight"].shape == (3, 3, 3, 64)
+        feats = vgg16_extract_features(
+            (rng.rand(2, 32, 32, 3) * 255).astype(np.uint8), vgg)
+        assert feats.shape == (2, 4096)
+        assert np.all(np.isfinite(np.asarray(feats)))
+
+
 class TestStrokeGenerator:
     def make_generator(self, batch=2):
         eng = make_engine()
