@@ -123,6 +123,21 @@ def _affine_warp(images, mat, out_size=None):
     return _affine_warp_gather(images, mat, out_size)
 
 
+def _pass_weights(taps, pos, scale):
+    """[*, n] 1D resampling matrix rows: triangle kernel centred at ``pos``
+    with half-width ``scale`` (>=1), normalized to unit mass.
+
+    At scale == 1 this is exactly the 2-tap bilinear hat; for minification
+    (scale > 1) the widened kernel low-passes, giving the antialiasing the
+    reference obtains from its sym6 up/down pair around the geometric warp
+    (reference training/augment.py geometric block: upfirdn2d up=2 ->
+    grid_sample -> down=2).  Widening the kernel is FREE in this matrix
+    formulation -- the interpolation matrix is dense either way.
+    """
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(taps - pos[..., None]) / scale)
+    return w / jnp.maximum(w.sum(-1, keepdims=True), 1e-8)
+
+
 def _affine_warp_gather(images, mat, out_size=None):
     """Reference gather-based bilinear warp (exact spec; slow on TPU)."""
     b, h, w, c = images.shape
@@ -163,7 +178,7 @@ def _affine_warp_gather(images, mat, out_size=None):
     return out
 
 
-def _affine_warp_twopass(images, mat):
+def _affine_warp_twopass(images, mat, antialias=True):
     """MXU two-pass (Catmull-Smith) affine warp for square images.
 
     Decomposes each per-sample inverse affine into a horizontal then a
@@ -185,6 +200,11 @@ def _affine_warp_twopass(images, mat):
     factored out per sample -- the image is pre-rotated with an exact
     transpose+flip and ``mat`` is premultiplied by R90^{-1} -- so the
     vertical pass scale stays bounded away from zero.
+
+    ``antialias=True`` (default, matching the reference's always-on sym6
+    up/down filtering) widens each pass's kernel to the local minification
+    factor via :func:`_pass_weights`; ``antialias=False`` reproduces naive
+    bilinear sampling exactly (used by the gather-equivalence tests).
     """
     b, h, w, c = images.shape
     assert h == w, "two-pass warp requires square images"
@@ -225,8 +245,11 @@ def _affine_warp_twopass(images, mat):
          + (cc - bb * ff / e)[:, None, None] + ctr)     # [B,H,W] array x
     u = reflect(u, w)
     taps = jnp.arange(w, dtype=f32)
-    w1 = jnp.maximum(0.0, 1.0 - jnp.abs(taps[None, None, None, :]
-                                        - u[..., None]))
+    one = jnp.ones((b,), f32)
+    # Local pass scales: d(u)/dj = det/e, d(v)/di = e.
+    s1 = jnp.maximum(1.0, jnp.abs(a - bb * d / e)) if antialias else one
+    s2 = jnp.maximum(1.0, jnp.abs(e)) if antialias else one
+    w1 = _pass_weights(taps, u, s1[:, None, None, None])
     i1 = jnp.einsum("brjc,brck->brjk", w1.astype(wdt), imgs.astype(wdt),
                     precision=prec)
 
@@ -236,8 +259,7 @@ def _affine_warp_twopass(images, mat):
          + e[:, None, None] * rc[None, :, None]
          + ff[:, None, None] + ctr)                      # [B,H,W] array y
     v = reflect(v, h)
-    w2 = jnp.maximum(0.0, 1.0 - jnp.abs(taps[None, None, None, :]
-                                        - v[..., None]))
+    w2 = _pass_weights(taps, v, s2[:, None, None, None])
     out = jnp.einsum("bijr,brjk->bijk", w2.astype(wdt), i1, precision=prec)
     return out.astype(images.dtype)
 

@@ -47,7 +47,7 @@ class TrainingLoop:
                  seed: int = 0, hooks: Optional[LoopHooks] = None,
                  resume_state=None, auto_resume: bool = False,
                  debug_nans: bool = False, profile_phases: bool = False,
-                 use_fused: bool = False):
+                 use_fused: bool = False, mesh=None):
         if debug_nans:
             # Analog of the reference's grad-anomaly debugging hooks
             # (SURVEY.md section 5.2); catches non-finite values at source.
@@ -65,6 +65,21 @@ class TrainingLoop:
         key = jax.random.PRNGKey(seed)
         self.state = resume_state if resume_state is not None else \
             init_train_state(cfg, key)
+
+        # Data parallelism over a jax.sharding.Mesh: state and encoder are
+        # replicated, batches are sharded over the 'data' axis, and the
+        # UNCHANGED jitted steps run SPMD -- XLA inserts the gradient
+        # all-reduce over ICI from the input shardings alone (replaces the
+        # reference's DDP wrappers, training_loop_modified.py:240-252).
+        self.mesh = mesh
+        if mesh is not None:
+            from brushstroke_engine_tpu.parallel.mesh import replicate
+            n = mesh.devices.size
+            assert cfg.batch_size % n == 0, \
+                f"batch_size {cfg.batch_size} not divisible by {n} devices"
+            self.state = replicate(mesh, self.state)
+            self.enc_params = replicate(mesh, self.enc_params)
+            self.enc_state = replicate(mesh, self.enc_state)
         self.rng = np.random.default_rng(seed)
         self.host_key = jax.random.PRNGKey(seed + 1)
 
@@ -98,6 +113,14 @@ class TrainingLoop:
     def _next_rng(self):
         self.host_key, sub = jax.random.split(self.host_key)
         return sub
+
+    def _data(self, x):
+        """Device-put a batch array, sharded over the mesh if present."""
+        x = jnp.asarray(x)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            x = jax.device_put(x, NamedSharding(self.mesh, P("data")))
+        return x
 
     def _ema_beta(self) -> jnp.ndarray:
         ema_nimg = self.cfg.ema_kimg * 1000.0
@@ -156,8 +179,8 @@ class TrainingLoop:
             style, tri_full, crop1, geom_input, geom_truth = \
                 self._fetch_batch()
             feats = train_steps.encode_geometry(
-                cfg, self.enc_params, self.enc_state, jnp.asarray(geom_input))
-            geom_truth_j = jnp.asarray(geom_truth)
+                cfg, self.enc_params, self.enc_state, self._data(geom_input))
+            geom_truth_j = self._data(geom_truth)
             stats: Dict[str, float] = {}
             phase_t0 = [time.time()]
 
@@ -177,7 +200,7 @@ class TrainingLoop:
             if self.fused_step is not None:
                 self.state, s = self.fused_step(
                     self.state, self.enc_params, self.enc_state,
-                    jnp.asarray(style), jnp.asarray(geom_input),
+                    self._data(style), self._data(geom_input),
                     geom_truth_j, self._next_rng(),
                     jnp.int32(self.batch_idx), jnp.bool_(warm), ema_beta)
                 stats.update({k: float(v) for k, v in s.items()
@@ -190,39 +213,39 @@ class TrainingLoop:
                                   crop2[1]:crop2[1] + crop2[3], 1:2]
                     feats2 = train_steps.encode_geometry(
                         cfg, self.enc_params, self.enc_state,
-                        jnp.asarray(g2))
-                    z = jnp.asarray(self.rng.standard_normal(
-                        (cfg.batch_size, cfg.gen_cfg.z_dim)), jnp.float32)
+                        self._data(g2))
+                    z = self._data(np.asarray(self.rng.standard_normal(
+                        (cfg.batch_size, cfg.gen_cfg.z_dim)), np.float32))
                     self.state, s = self.stitch_step(
                         self.state, feats, feats2, z,
                         jnp.asarray(crop1), jnp.asarray(crop2),
                         self._next_rng(), ema_beta)
                     note(s, "Gstitch")
             elif warm:
-                z = jnp.asarray(self.rng.standard_normal(
-                    (cfg.batch_size, cfg.gen_cfg.z_dim)), jnp.float32)
+                z = self._data(np.asarray(self.rng.standard_normal(
+                    (cfg.batch_size, cfg.gen_cfg.z_dim)), np.float32))
                 self.state, s = self.warm_step(
                     self.state, feats, geom_truth_j, z, self._next_rng(),
                     ema_beta)
                 note(s, "Ggeom-warm")
             else:
                 # Dmain
-                z = jnp.asarray(self.rng.standard_normal(
-                    (cfg.batch_size, cfg.gen_cfg.z_dim)), jnp.float32)
+                z = self._data(np.asarray(self.rng.standard_normal(
+                    (cfg.batch_size, cfg.gen_cfg.z_dim)), np.float32))
                 self.state, s = train_steps.d_main_step(
-                    cfg, self.state, jnp.asarray(style), feats, z,
+                    cfg, self.state, self._data(style), feats, z,
                     self._next_rng())
                 note(s, "Dmain")
                 # Dreg
                 if cfg.d_reg_interval > 0 and \
                         self.batch_idx % cfg.d_reg_interval == 0:
                     self.state, s = train_steps.d_reg_step(
-                        cfg, self.state, jnp.asarray(style),
+                        cfg, self.state, self._data(style),
                         self._next_rng())
                     note(s, "Dreg")
                 # Gmain
-                z = jnp.asarray(self.rng.standard_normal(
-                    (cfg.batch_size, cfg.gen_cfg.z_dim)), jnp.float32)
+                z = self._data(np.asarray(self.rng.standard_normal(
+                    (cfg.batch_size, cfg.gen_cfg.z_dim)), np.float32))
                 self.state, s = train_steps.g_main_step(
                     cfg, self.state, feats, geom_truth_j, z,
                     self._next_rng(), ema_beta)
@@ -230,8 +253,8 @@ class TrainingLoop:
                 # Greg (path length)
                 if cfg.g_reg_interval > 0 and \
                         self.batch_idx % cfg.g_reg_interval == 0:
-                    z = jnp.asarray(self.rng.standard_normal(
-                        (cfg.batch_size, cfg.gen_cfg.z_dim)), jnp.float32)
+                    z = self._data(np.asarray(self.rng.standard_normal(
+                        (cfg.batch_size, cfg.gen_cfg.z_dim)), np.float32))
                     self.state, s = train_steps.g_reg_step(
                         cfg, self.state, feats, z, self._next_rng(),
                         ema_beta)
@@ -245,9 +268,9 @@ class TrainingLoop:
                                   crop2[1]:crop2[1] + crop2[3], 1:2]
                     feats2 = train_steps.encode_geometry(
                         cfg, self.enc_params, self.enc_state,
-                        jnp.asarray(g2))
-                    z = jnp.asarray(self.rng.standard_normal(
-                        (cfg.batch_size, cfg.gen_cfg.z_dim)), jnp.float32)
+                        self._data(g2))
+                    z = self._data(np.asarray(self.rng.standard_normal(
+                        (cfg.batch_size, cfg.gen_cfg.z_dim)), np.float32))
                     self.state, s = self.stitch_step(
                         self.state, feats, feats2, z,
                         jnp.asarray(crop1), jnp.asarray(crop2),
@@ -256,8 +279,8 @@ class TrainingLoop:
                 # Ggeom
                 if self.geom_step is not None and \
                         self.batch_idx % cfg.geom_interval == 0:
-                    z = jnp.asarray(self.rng.standard_normal(
-                        (cfg.batch_size, cfg.gen_cfg.z_dim)), jnp.float32)
+                    z = self._data(np.asarray(self.rng.standard_normal(
+                        (cfg.batch_size, cfg.gen_cfg.z_dim)), np.float32))
                     self.state, s = self.geom_step(
                         self.state, feats, geom_truth_j, z,
                         self._next_rng(), ema_beta)

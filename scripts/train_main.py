@@ -91,6 +91,9 @@ def build_parser():
     ap.add_argument("--fused", action="store_true",
                     help="Single-dispatch fused train step (all phases in "
                          "one jitted program; recommended on TPU).")
+    ap.add_argument("--dp", type=int, default=0,
+                    help="Data-parallel over N devices (jax.sharding mesh; "
+                         "0 = single device). batch must divide by N.")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--metrics", default="fid,forger")
     ap.add_argument("--dry-run", action="store_true", dest="dry_run")
@@ -235,9 +238,13 @@ def main(argv=None):
         g_params = bundle.gen_params
         g_state = bundle.gen_state
 
+    mesh = None
+    if args.dp:
+        from brushstroke_engine_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(args.dp)
     loop = TrainingLoop(cfg, enc_params, enc_state, style_iter, geom_iter,
                         run_dir=run_dir, seed=args.seed,
-                        use_fused=args.fused)
+                        use_fused=args.fused, mesh=mesh)
     if g_params is not None:
         from brushstroke_engine_tpu.train.state import init_train_state
         import jax

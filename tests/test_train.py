@@ -197,10 +197,31 @@ class TestAugment:
         exact = ("identity", "translate", "scale", "rot90")
         for name, mat in cases.items():
             g = np.asarray(_affine_warp_gather(img, mat))
-            t = np.asarray(_affine_warp_twopass(img, mat))
+            t = np.asarray(_affine_warp_twopass(img, mat,
+                                                antialias=False))
             d = np.abs(g - t) * inbounds(mat)
             tol = 1e-4 if name in exact else 0.15 * std
             assert d.max() < tol, (name, d.max(), tol)
+
+    def test_twopass_warp_antialias_minification(self):
+        """Scale-adaptive kernels suppress aliasing under minification
+        (the reference's sym6 up/down pair serves the same purpose):
+        a 2x-minified 1px checkerboard should average out to near-flat,
+        while naive bilinear keeps strong aliased contrast."""
+        from brushstroke_engine_tpu.train.augment import (
+            _affine_warp_twopass, _scale2)
+
+        n = 32
+        xx = np.arange(n)[None, :].repeat(n, 0)
+        stripes = (xx % 2).astype(np.float32)[None, ..., None]
+        img = jnp.asarray(np.tile(stripes, (2, 1, 1, 3)))
+        mat = _scale2(jnp.full((2,), 1.9), jnp.full((2,), 1.9))
+        naive = np.asarray(_affine_warp_twopass(img, mat, antialias=False))
+        aa = np.asarray(_affine_warp_twopass(img, mat, antialias=True))
+        core = (slice(None), slice(11, 21), slice(11, 21))
+        assert naive[core].std() > 0.2           # aliased moire survives
+        assert aa[core].std() < 0.1 * naive[core].std()
+        np.testing.assert_allclose(aa[core].mean(), 0.5, atol=0.02)
 
     def test_jit_with_traced_p(self):
         cfg = AugmentConfig.from_spec("bgcnc")
