@@ -35,6 +35,9 @@ class TrainConfig:
     enc_cfg: GeoEncoderConfig
     enc_res: Tuple[int, ...] = (0, 1)
     batch_size: int = 64
+    # Microbatch size for gradient accumulation (reference --batch-gpu,
+    # training_loop_modified.py:438-480). None = whole batch in one round.
+    batch_gpu: Optional[int] = None
 
     # Optimizers (reference train_flags: lr 2e-4 / 2e-4).
     g_lr: float = 2e-4

@@ -80,29 +80,84 @@ def ema_update(g_ema, g_params, beta):
         lambda e, p: p + (e - p) * beta, g_ema, g_params)
 
 
+def _num_rounds(cfg: TrainConfig, batch: int) -> int:
+    """Gradient-accumulation round count from cfg.batch_gpu (reference
+    --batch-gpu microbatching, training_loop_modified.py:438-480)."""
+    if not cfg.batch_gpu or cfg.batch_gpu >= batch:
+        return 1
+    assert batch % cfg.batch_gpu == 0, \
+        f"batch {batch} not divisible by batch_gpu {cfg.batch_gpu}"
+    return batch // cfg.batch_gpu
+
+
+def _to_rounds(tree, rounds: int):
+    return jax.tree_util.tree_map(
+        lambda x: x.reshape((rounds, x.shape[0] // rounds) + x.shape[1:]),
+        tree)
+
+
+def _accum_grads(loss_fn, params, batch_tree, rng, rounds: int):
+    """Accumulate grads over ``rounds`` microbatches with ``lax.scan``.
+
+    ``batch_tree`` leaves have leading batch dim; ``loss_fn(params, mb,
+    rng) -> (loss, aux)``.  Returns (mean loss, aux stacked over rounds,
+    mean grads).  The sequential scan trades wall-clock for peak memory,
+    exactly like the reference's batch_gpu rounds (which also give each
+    round its own noise/augment draws).
+    """
+    gfn = jax.value_and_grad(loss_fn, has_aux=True)
+    if rounds == 1:
+        (loss, aux), grads = gfn(params, batch_tree, rng)
+        return loss, jax.tree_util.tree_map(lambda a: a[None], aux), grads
+
+    mbs = _to_rounds(batch_tree, rounds)
+    rngs = jax.random.split(rng, rounds)
+
+    def body(carry, xs):
+        gsum, lsum = carry
+        mb, k = xs
+        (loss, aux), grads = gfn(params, mb, k)
+        gsum = jax.tree_util.tree_map(jnp.add, gsum, grads)
+        return (gsum, lsum + loss), aux
+
+    zero = jax.tree_util.tree_map(jnp.zeros_like, params)
+    (gsum, lsum), auxs = jax.lax.scan(body, (zero, jnp.float32(0.0)),
+                                      (mbs, rngs))
+    grads = jax.tree_util.tree_map(lambda g: g / rounds, gsum)
+    return lsum / rounds, auxs, grads
+
+
 # ---------------------------------------------------------------------------
 # D phases
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
 def d_main_step(cfg: TrainConfig, state, real_img, geom_feats, z, rng):
-    """Dmain: softplus(D(G(z))) + softplus(-D(real)) (loss_modified:226-245)."""
+    """Dmain: softplus(D(G(z))) + softplus(-D(real)) (loss_modified:226-245).
+
+    Honors cfg.batch_gpu gradient accumulation: the generator forward and
+    both D passes run per microbatch inside the scan, bounding peak memory
+    like the reference's rounds."""
     g_opt, d_opt, _ = make_optimizers(cfg)
-    k_g, k_aug1, k_aug2 = jax.random.split(rng, 3)
+    rounds = _num_rounds(cfg, z.shape[0])
 
-    gen_img, _, _ = _run_g(cfg, state["g_params"], state, z, geom_feats, k_g,
-                           update_w_avg=False)
-    gen_img = jax.lax.stop_gradient(gen_img)
-
-    def loss_fn(d_params):
+    def loss_fn(d_params, mb, k):
+        k_g, k_aug1, k_aug2 = jax.random.split(k, 3)
+        gen_img, _, _ = _run_g(cfg, state["g_params"], state, mb["z"],
+                               mb["feats"], k_g, update_w_avg=False)
+        gen_img = jax.lax.stop_gradient(gen_img)
         gen_logits = _run_d(cfg, d_params, gen_img, k_aug1, state["ada_p"])
-        real_logits = _run_d(cfg, d_params, real_img, k_aug2, state["ada_p"])
+        real_logits = _run_d(cfg, d_params, mb["real"], k_aug2,
+                             state["ada_p"])
         loss = jnp.mean(jax.nn.softplus(gen_logits)) \
             + jnp.mean(jax.nn.softplus(-real_logits))
         return loss, (gen_logits, real_logits)
 
-    (loss, (gen_logits, real_logits)), grads = \
-        jax.value_and_grad(loss_fn, has_aux=True)(state["d_params"])
+    batch = {"real": real_img, "feats": geom_feats, "z": z}
+    loss, (gen_logits, real_logits), grads = _accum_grads(
+        loss_fn, state["d_params"], batch, rng, rounds)
+    gen_logits = gen_logits.reshape(-1)
+    real_logits = real_logits.reshape(-1)
     new_d, new_opt = _apply_updates(d_opt, state["d_params"], grads,
                                     state["d_opt"])
     state = dict(state, d_params=new_d, d_opt=new_opt,
@@ -118,21 +173,26 @@ def d_main_step(cfg: TrainConfig, state, real_img, geom_feats, z, rng):
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
 def d_reg_step(cfg: TrainConfig, state, real_img, rng):
-    """Dr1: R1 gradient penalty on reals (loss_modified:249-272)."""
+    """Dr1: R1 gradient penalty on reals (loss_modified:249-272).
+
+    Honors cfg.batch_gpu -- R1's double backward is the peak-memory phase,
+    so accumulation matters most here."""
     _, d_opt, _ = make_optimizers(cfg)
     gain = float(cfg.d_reg_interval)
+    rounds = _num_rounds(cfg, real_img.shape[0])
 
-    def loss_fn(d_params):
+    def loss_fn(d_params, mb, k):
         def d_sum(img):
-            return jnp.sum(_run_d(cfg, d_params, img, rng, state["ada_p"]))
+            return jnp.sum(_run_d(cfg, d_params, img, k, state["ada_p"]))
 
-        r1_grads = jax.grad(d_sum)(real_img)
+        r1_grads = jax.grad(d_sum)(mb["real"])
         r1_penalty = jnp.sum(jnp.square(r1_grads), axis=(1, 2, 3))
         loss = jnp.mean(r1_penalty) * (cfg.r1_gamma / 2) * gain
         return loss, jnp.mean(r1_penalty)
 
-    (loss, penalty), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-        state["d_params"])
+    loss, penalty, grads = _accum_grads(
+        loss_fn, state["d_params"], {"real": real_img}, rng, rounds)
+    penalty = jnp.mean(penalty)
     new_d, new_opt = _apply_updates(d_opt, state["d_params"], grads,
                                     state["d_opt"])
     state = dict(state, d_params=new_d, d_opt=new_opt)
@@ -146,23 +206,34 @@ def d_reg_step(cfg: TrainConfig, state, real_img, rng):
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
 def g_main_step(cfg: TrainConfig, state, geom_feats, geom_truth, z, rng,
                 ema_beta):
-    """Gmain: softplus(-D(G(z))) + main_phase_losses (loss_modified:149-178)."""
+    """Gmain: softplus(-D(G(z))) + main_phase_losses (loss_modified:149-178).
+
+    Honors cfg.batch_gpu gradient accumulation (w_avg takes the final
+    round's EMA value; each round starts from the same pre-step w_avg,
+    matching the reference's buffer mutation to within one round's decay).
+    """
     g_opt, _, _ = make_optimizers(cfg)
     main_losses = cfg.losses("main")
-    k_g, k_aug, k_loss = jax.random.split(rng, 3)
+    rounds = _num_rounds(cfg, z.shape[0])
 
-    def loss_fn(g_params):
-        img, debug, new_w_avg = _run_g(cfg, g_params, state, z, geom_feats,
-                                       k_g)
+    def loss_fn(g_params, mb, k):
+        k_g, k_aug, k_loss = jax.random.split(k, 3)
+        img, debug, new_w_avg = _run_g(cfg, g_params, state, mb["z"],
+                                       mb["feats"], k_g)
         logits = _run_d(cfg, state["d_params"], img, k_aug, state["ada_p"])
         loss = jnp.mean(jax.nn.softplus(-logits))
         debug = dict(debug, fake_img=img)
-        forger_loss, items = main_losses.compute(debug, geom_truth,
+        forger_loss, items = main_losses.compute(debug, mb["truth"],
                                                  rng=k_loss)
         return loss + forger_loss, (loss, items, new_w_avg)
 
-    (total, (gan_loss, items, new_w_avg)), grads = \
-        jax.value_and_grad(loss_fn, has_aux=True)(state["g_params"])
+    batch = {"feats": geom_feats, "truth": geom_truth, "z": z}
+    total, (gan_loss, items, new_w_avg), grads = _accum_grads(
+        loss_fn, state["g_params"], batch, rng, rounds)
+    gan_loss = jnp.mean(gan_loss)
+    items = {k: jnp.mean(v) for k, v in items.items()}
+    if new_w_avg is not None:
+        new_w_avg = new_w_avg[-1]
     new_g, new_opt = _apply_updates(g_opt, state["g_params"], grads,
                                     state["g_opt"])
     new_ema = ema_update(state["g_ema"], new_g, ema_beta)

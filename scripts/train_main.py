@@ -60,6 +60,9 @@ def build_parser():
     ap.add_argument("--posenc_injection_mode", default="cat")
     # Optimization.
     ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--batch_gpu", type=int, default=None,
+                    help="Microbatch size for gradient accumulation "
+                         "(reference --batch-gpu); None = full batch.")
     ap.add_argument("--glr", type=float, default=2e-4)
     ap.add_argument("--dlr", type=float, default=2e-4)
     ap.add_argument("--geom_lr", type=float, default=2e-4)
@@ -158,7 +161,7 @@ def setup_config(args):
 
     cfg = TrainConfig(
         gen_cfg=gen_cfg, disc_cfg=disc_cfg, enc_cfg=enc_cfg,
-        enc_res=inject, batch_size=args.batch,
+        enc_res=inject, batch_size=args.batch, batch_gpu=args.batch_gpu,
         g_lr=args.glr, d_lr=args.dlr, geom_lr=args.geom_lr,
         r1_gamma=gamma,
         style_mixing_prob=args.style_mixing_prob,

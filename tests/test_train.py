@@ -263,6 +263,60 @@ class TestPhases:
         assert not np.allclose(np.asarray(g_before), np.asarray(g_after))
         assert not np.allclose(np.asarray(d_before), np.asarray(d_after))
 
+    def test_accum_grads_matches_mean_of_rounds(self):
+        """lax.scan accumulation == mean of per-microbatch grads."""
+        from brushstroke_engine_tpu.train.steps import _accum_grads
+
+        params = {"w": jnp.asarray([2.0, -1.0])}
+        x = jnp.arange(8.0).reshape(8, 1)
+
+        def loss_fn(p, mb, k):
+            del k
+            pred = mb["x"] @ p["w"][None, :1] + p["w"][1]
+            return jnp.mean(pred ** 2), jnp.mean(pred)
+
+        l1, aux1, g1 = _accum_grads(loss_fn, params, {"x": x},
+                                    jax.random.PRNGKey(0), 1)
+        l4, aux4, g4 = _accum_grads(loss_fn, params, {"x": x},
+                                    jax.random.PRNGKey(0), 4)
+        assert aux1.shape == (1,) and aux4.shape == (4,)
+        # Mean-of-means == full mean here because microbatches are equal
+        # sized; grads likewise.
+        np.testing.assert_allclose(float(l4), float(l1), rtol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(g1),
+                        jax.tree_util.tree_leaves(g4)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5)
+
+    def test_phase_steps_with_batch_gpu(self):
+        """Full D/G phase cycle with gradient accumulation (batch_gpu=2,
+        batch=4) runs, updates params, and stays finite."""
+        cfg, b = make_train_cfg(
+            batch_size=4, batch_gpu=2,
+            main_phase_losses="0.1*iou_inv(uvs)",
+            augment=AugmentConfig.from_spec("bgc"))
+        state = init_train_state(cfg, KEY, g_params=b.gen_params,
+                                 g_state=b.gen_state)
+        rng = np.random.RandomState(0)
+        real = jnp.asarray(rng.randn(4, 32, 32, 3), jnp.float32)
+        geom = jnp.asarray((rng.rand(4, 32, 32, 1) > 0.5), jnp.float32)
+        z = jnp.asarray(rng.randn(4, cfg.gen_cfg.z_dim), jnp.float32)
+        feats = train_steps.encode_geometry(cfg, b.enc_params, b.enc_state, geom)
+
+        before = np.asarray(
+            jax.tree_util.tree_leaves(state["d_params"])[0]).copy()
+        state, s1 = train_steps.d_main_step(cfg, state, real, feats, z,
+                                   jax.random.PRNGKey(1))
+        state, s2 = train_steps.d_reg_step(cfg, state, real, jax.random.PRNGKey(2))
+        state, s3 = train_steps.g_main_step(cfg, state, feats, geom, z,
+                                   jax.random.PRNGKey(3),
+                                   jnp.float32(0.99))
+        after = np.asarray(jax.tree_util.tree_leaves(state["d_params"])[0])
+        assert not np.allclose(before, after)
+        for s in (s1, s2, s3):
+            for k, v in s.items():
+                assert np.isfinite(float(v)), k
+
     def test_geom_step_respects_mask(self):
         cfg, b = make_train_cfg(geom_warmstart_mode="last_and_rgb")
         state = init_train_state(cfg, KEY, g_params=b.gen_params,
