@@ -129,6 +129,62 @@ def print_param_summary(params, name: str = "model", max_rows: int = 40):
     return total
 
 
+def assert_shape(tensor, ref_shape):
+    """Shape assertion with None wildcards (reference torch_utils/misc.py:80).
+
+    ``ref_shape`` entries of None match any extent.  Works on jax/numpy
+    arrays and traced values (uses the static .shape).
+    """
+    shape = tuple(tensor.shape)
+    if len(shape) != len(ref_shape):
+        raise AssertionError(
+            f"Wrong number of dimensions: got {len(shape)}, "
+            f"expected {len(ref_shape)}")
+    for i, (size, ref) in enumerate(zip(shape, ref_shape)):
+        if ref is not None and size != ref:
+            raise AssertionError(
+                f"Wrong size for dimension {i}: got {size}, expected {ref}")
+
+
+def profiled_function(fn):
+    """Annotate a function so device profiles group its ops under its name
+    (reference torch_utils/misc.py:98 used torch.autograd.profiler;
+    the JAX analog is a jax.named_scope around the traced body)."""
+    import functools
+    import jax
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        with jax.named_scope(fn.__name__):
+            return fn(*args, **kwargs)
+    return wrapper
+
+
+def open_url(url: str, cache_dir: Optional[str] = None, mode: str = "rb"):
+    """Open a URL or local path (reference dnnlib.util.open_url).
+
+    This environment has no network egress, so only ``file://`` URLs and
+    plain local paths are supported; http(s) URLs resolve through the
+    cache directory (populated out-of-band) by hashed filename, and raise
+    with a clear message when the artifact is absent.
+    """
+    import hashlib
+    import os
+    if url.startswith("file://"):
+        return open(url[len("file://"):], mode)
+    if not (url.startswith("http://") or url.startswith("https://")):
+        return open(url, mode)
+    cache_dir = cache_dir or os.environ.get(
+        "BSE_CACHE_DIR", os.path.expanduser("~/.cache/brushstroke_engine"))
+    digest = hashlib.sha256(url.encode()).hexdigest()[:16]
+    base = os.path.basename(url.split("?")[0]) or "download"
+    path = os.path.join(cache_dir, f"{digest}-{base}")
+    if os.path.isfile(path):
+        return open(path, mode)
+    raise FileNotFoundError(
+        f"No network egress: place the artifact for {url!r} at {path!r}")
+
+
 def log_tensor(t, name: str, logger, level=logging.DEBUG,
                print_stats: bool = False):
     """Shape/stat logging (reference forger/util/logging.py:66)."""

@@ -72,6 +72,45 @@ class TestUtil:
             log_tensor(np.ones((2, 3)), "x", logger, print_stats=True)
         assert "shape (2, 3)" in caplog.text
 
+    def test_assert_shape(self):
+        from brushstroke_engine_tpu.utils.util import assert_shape
+        assert_shape(np.zeros((2, 3, 4)), (2, None, 4))
+        with pytest.raises(AssertionError):
+            assert_shape(np.zeros((2, 3)), (2, 4))
+        with pytest.raises(AssertionError):
+            assert_shape(np.zeros((2, 3)), (2, 3, 1))
+
+    def test_profiled_function(self):
+        from brushstroke_engine_tpu.utils.util import profiled_function
+        import jax.numpy as jnp
+
+        @profiled_function
+        def f(x):
+            return x * 2
+
+        assert float(f(jnp.float32(3.0))) == 6.0
+        assert f.__name__ == "f"
+
+    def test_open_url(self, tmp_path):
+        from brushstroke_engine_tpu.utils.util import open_url
+        p = tmp_path / "a.bin"
+        p.write_bytes(b"hi")
+        with open_url(str(p)) as f:
+            assert f.read() == b"hi"
+        with open_url(f"file://{p}") as f:
+            assert f.read() == b"hi"
+        with pytest.raises(FileNotFoundError):
+            open_url("https://example.com/model.pt",
+                     cache_dir=str(tmp_path))
+        # Pre-populated cache hit.
+        import hashlib
+        digest = hashlib.sha256(
+            b"https://example.com/model.pt").hexdigest()[:16]
+        (tmp_path / f"{digest}-model.pt").write_bytes(b"weights")
+        with open_url("https://example.com/model.pt",
+                      cache_dir=str(tmp_path)) as f:
+            assert f.read() == b"weights"
+
 
 class TestEvalHooks:
     def test_hooks_run_in_loop(self, tmp_path):
