@@ -47,12 +47,20 @@ class TrainingLoop:
                  seed: int = 0, hooks: Optional[LoopHooks] = None,
                  resume_state=None, auto_resume: bool = False,
                  debug_nans: bool = False, profile_phases: bool = False,
-                 use_fused: bool = False, mesh=None):
+                 use_fused: bool = False, mesh=None,
+                 profile_dir: Optional[str] = None,
+                 profile_batches=(10, 13)):
         if debug_nans:
             # Analog of the reference's grad-anomaly debugging hooks
             # (SURVEY.md section 5.2); catches non-finite values at source.
             jax.config.update("jax_debug_nans", True)
         self.profile_phases = profile_phases
+        # Device-trace capture (reference record_function scopes +
+        # CUDA-event Timing, SURVEY.md section 5.1): batches 10-12 are
+        # written as a jax.profiler trace viewable in TensorBoard/Perfetto.
+        self.profile_dir = profile_dir
+        self.profile_batches = tuple(profile_batches)
+        self._trace_active = False
         self.cfg = cfg
         self.enc_params = enc_params
         self.enc_state = enc_state
@@ -175,6 +183,16 @@ class TrainingLoop:
             progress_fn(self.cur_nimg, total_kimg * 1000)
 
         while True:
+            if self.profile_dir is not None:
+                if self.batch_idx == self.profile_batches[0] and \
+                        not self._trace_active:
+                    jax.profiler.start_trace(self.profile_dir)
+                    self._trace_active = True
+                elif self.batch_idx == self.profile_batches[1] and \
+                        self._trace_active:
+                    jax.profiler.stop_trace()
+                    self._trace_active = False
+                    logger.info("Wrote device trace to %s", self.profile_dir)
             warm = self.in_warmstart()
             style, tri_full, crop1, geom_input, geom_truth = \
                 self._fetch_batch()
@@ -334,6 +352,9 @@ class TrainingLoop:
             tick_start_nimg = self.cur_nimg
             tick_start_time = time.time()
             if done:
+                if self._trace_active:
+                    jax.profiler.stop_trace()
+                    self._trace_active = False
                 return self.state
 
     # ------------------------------------------------------------------

@@ -30,6 +30,12 @@ from brushstroke_engine_tpu.train.augment import augment_pipe
 from brushstroke_engine_tpu.train.state import TrainConfig, make_optimizers
 
 
+def _scoped(name):
+    """Annotate phase computations for device profiles (the TPU analog of
+    the reference's record_function scopes, SURVEY.md section 5.1)."""
+    return jax.named_scope(name)
+
+
 def encode_geometry(cfg: TrainConfig, enc_params, enc_state, geom):
     """Frozen geometry encoding (no grads; reference loop :409-410)."""
     feats = geo_encoder_encode(cfg.enc_cfg, enc_params, enc_state, geom,
@@ -154,8 +160,9 @@ def d_main_step(cfg: TrainConfig, state, real_img, geom_feats, z, rng):
         return loss, (gen_logits, real_logits)
 
     batch = {"real": real_img, "feats": geom_feats, "z": z}
-    loss, (gen_logits, real_logits), grads = _accum_grads(
-        loss_fn, state["d_params"], batch, rng, rounds)
+    with _scoped("Dmain"):
+        loss, (gen_logits, real_logits), grads = _accum_grads(
+            loss_fn, state["d_params"], batch, rng, rounds)
     gen_logits = gen_logits.reshape(-1)
     real_logits = real_logits.reshape(-1)
     new_d, new_opt = _apply_updates(d_opt, state["d_params"], grads,
@@ -190,8 +197,9 @@ def d_reg_step(cfg: TrainConfig, state, real_img, rng):
         loss = jnp.mean(r1_penalty) * (cfg.r1_gamma / 2) * gain
         return loss, jnp.mean(r1_penalty)
 
-    loss, penalty, grads = _accum_grads(
-        loss_fn, state["d_params"], {"real": real_img}, rng, rounds)
+    with _scoped("Dreg"):
+        loss, penalty, grads = _accum_grads(
+            loss_fn, state["d_params"], {"real": real_img}, rng, rounds)
     penalty = jnp.mean(penalty)
     new_d, new_opt = _apply_updates(d_opt, state["d_params"], grads,
                                     state["d_opt"])
@@ -228,8 +236,9 @@ def g_main_step(cfg: TrainConfig, state, geom_feats, geom_truth, z, rng,
         return loss + forger_loss, (loss, items, new_w_avg)
 
     batch = {"feats": geom_feats, "truth": geom_truth, "z": z}
-    total, (gan_loss, items, new_w_avg), grads = _accum_grads(
-        loss_fn, state["g_params"], batch, rng, rounds)
+    with _scoped("Gmain"):
+        total, (gan_loss, items, new_w_avg), grads = _accum_grads(
+            loss_fn, state["g_params"], batch, rng, rounds)
     gan_loss = jnp.mean(gan_loss)
     items = {k: jnp.mean(v) for k, v in items.items()}
     if new_w_avg is not None:
@@ -305,8 +314,9 @@ def g_reg_step(cfg: TrainConfig, state, geom_feats, z, rng, ema_beta):
         return loss, (jax.lax.stop_gradient(pl_mean),
                       jnp.mean(pl_penalty))
 
-    (loss, (new_pl_mean, penalty)), grads = \
-        jax.value_and_grad(loss_fn, has_aux=True)(state["g_params"])
+    with _scoped("Greg"):
+        (loss, (new_pl_mean, penalty)), grads = \
+            jax.value_and_grad(loss_fn, has_aux=True)(state["g_params"])
     new_g, new_opt = _apply_updates(g_opt, state["g_params"], grads,
                                     state["g_opt"])
     new_ema = ema_update(state["g_ema"], new_g, ema_beta)

@@ -97,6 +97,9 @@ def build_parser():
     ap.add_argument("--dp", type=int, default=0,
                     help="Data-parallel over N devices (jax.sharding mesh; "
                          "0 = single device). batch must divide by N.")
+    ap.add_argument("--profile_dir", default=None,
+                    help="Write a jax.profiler device trace of batches "
+                         "10-12 here (view in TensorBoard/Perfetto).")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--metrics", default="fid,forger")
     ap.add_argument("--dry-run", action="store_true", dest="dry_run")
@@ -247,7 +250,8 @@ def main(argv=None):
         mesh = make_mesh(args.dp)
     loop = TrainingLoop(cfg, enc_params, enc_state, style_iter, geom_iter,
                         run_dir=run_dir, seed=args.seed,
-                        use_fused=args.fused, mesh=mesh)
+                        use_fused=args.fused, mesh=mesh,
+                        profile_dir=args.profile_dir)
     if g_params is not None:
         from brushstroke_engine_tpu.train.state import init_train_state
         import jax

@@ -495,10 +495,15 @@ class TestShortLoop:
                 return np.stack([geo_ds[self.i % 4], geo_ds[(self.i + 1) % 4]])
 
         loop = TrainingLoop(cfg, b.enc_params, b.enc_state, StyleIter(),
-                            GeomIter(), run_dir=str(tmp_path))
+                            GeomIter(), run_dir=str(tmp_path),
+                            profile_dir=str(tmp_path / "trace"),
+                            profile_batches=(1, 2))
         loop.run(total_kimg=6 / 1000.0)
         assert loop.cur_nimg >= 6
         assert os.path.exists(loop.stats_path)
+        # Device trace captured for the configured batch window.
+        assert os.path.isdir(tmp_path / "trace")
+        assert any(f for _, _, fs in os.walk(tmp_path / "trace") for f in fs)
         snaps = [f for f in os.listdir(tmp_path) if f.startswith("network")]
         assert len(snaps) >= 1
         # Snapshot round-trips into a working paint engine.
