@@ -112,6 +112,14 @@ class TrainingLoop:
         self.batch_idx = 0
         self.cur_tick = 0
         self.stats_path = os.path.join(run_dir, "stats.jsonl")
+        # TensorBoard events beside stats.jsonl (reference loop :318-346;
+        # wandb's sync_tensorboard reads the same files).  Soft dependency.
+        self.tb_writer = None
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+            self.tb_writer = SummaryWriter(log_dir=run_dir)
+        except Exception:
+            logger.info("TensorBoard unavailable; writing stats.jsonl only")
         self._last_stats: Dict[str, float] = {}
         if auto_resume and resume_state is None:
             self.load_train_state()
@@ -332,6 +340,10 @@ class TrainingLoop:
                 (self.cur_nimg - tick_start_nimg) / 1000.0, 1e-8)
             with open(self.stats_path, "a") as f:
                 f.write(json.dumps(stats) + "\n")
+            if self.tb_writer is not None:
+                for k, v in stats.items():
+                    self.tb_writer.add_scalar(k, v, self.cur_nimg)
+                self.tb_writer.flush()
             logger.info("tick %d kimg %.1f %s", self.cur_tick,
                         self.cur_nimg / 1e3,
                         {k: round(v, 4) for k, v in list(stats.items())[:6]})

@@ -504,6 +504,11 @@ class TestShortLoop:
         # Device trace captured for the configured batch window.
         assert os.path.isdir(tmp_path / "trace")
         assert any(f for _, _, fs in os.walk(tmp_path / "trace") for f in fs)
+        # TensorBoard events written beside stats.jsonl (soft dep present
+        # in this environment).
+        if loop.tb_writer is not None:
+            assert any(f.startswith("events.")
+                       for f in os.listdir(tmp_path))
         snaps = [f for f in os.listdir(tmp_path) if f.startswith("network")]
         assert len(snaps) >= 1
         # Snapshot round-trips into a working paint engine.
