@@ -164,6 +164,18 @@ class TestCLI:
         assert r.returncode == 0, r.stderr[-2000:]
         assert "FID:" in r.stdout
 
+    def test_plot_colors_cli(self, tmp_path):
+        import PIL.Image
+        rng = np.random.RandomState(0)
+        img_path = str(tmp_path / "img.png")
+        PIL.Image.fromarray(
+            (rng.rand(24, 24, 3) * 255).astype(np.uint8)).save(img_path)
+        out = str(tmp_path / "colors.png")
+        r = run_cli(os.path.join(REPO, "scripts", "plot_colors.py"),
+                    "--image", img_path, "--samples", "200", "--out", out)
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert os.path.isfile(out)
+
     def test_create_splines_and_prep(self, tmp_path):
         r = run_cli(os.path.join(REPO, "scripts", "create_splines.py"),
                     "--output_dir", str(tmp_path / "splines"),
