@@ -87,6 +87,45 @@ def test_graft_dryrun():
     dryrun_multichip(8)
 
 
+def test_training_loop_dp_fused(tmp_path):
+    """mesh= and use_fused= compose: the single-dispatch fused step runs
+    SPMD from input shardings alone."""
+    from brushstroke_engine_tpu.train.loop import TrainingLoop
+    from brushstroke_engine_tpu.train.dataset import SyntheticGeometryDataset
+    from tests.test_train import make_train_cfg
+
+    cfg, b = make_train_cfg(
+        batch_size=8,
+        main_phase_losses="0.1*iou_inv(uvs)",
+        geom_phase_losses="1.0*iou_inv(uvs)",
+        geom_warmstart_kimg=0,
+        geom_interval=2, g_reg_interval=2, d_reg_interval=2,
+        kimg_per_tick=1)  # no tick work in this short run
+
+    class StyleIter:
+        def __next__(self):
+            return (np.random.RandomState(1).rand(8, 32, 32, 3)
+                    * 255).astype(np.uint8)
+
+    geo_ds = SyntheticGeometryDataset(40, size=8)
+
+    class GeomIter:
+        def __init__(self):
+            self.i = 0
+
+        def __next__(self):
+            self.i += 1
+            return np.stack([geo_ds[(self.i + j) % 8] for j in range(8)])
+
+    loop = TrainingLoop(cfg, b.enc_params, b.enc_state, StyleIter(),
+                        GeomIter(), run_dir=str(tmp_path),
+                        mesh=make_mesh(), use_fused=True)
+    loop.run(total_kimg=16 / 1000.0)
+    leaf = jax.tree_util.tree_leaves(loop.state["g_params"])[0]
+    assert leaf.sharding.num_devices == 8
+    assert np.all(np.isfinite(np.asarray(leaf)))
+
+
 def test_training_loop_data_parallel(tmp_path):
     """End-to-end TrainingLoop over the 8-device mesh: state replicated,
     batches sharded, phase steps run SPMD, snapshot still loads."""
