@@ -371,19 +371,36 @@ class TrainingLoop:
 
     # ------------------------------------------------------------------
 
-    def save_train_state(self, path: Optional[str] = None) -> str:
+    def save_train_state(self, path: Optional[str] = None,
+                         backend: str = "pickle") -> str:
         """Full resumable training checkpoint: params, optimizer moments,
         EMA, ADA/PL state, and progress counters (the reference resumes only
         network params via copy_params_and_buffers; we keep the whole state
-        so resumed runs are bitwise-continuous)."""
+        so resumed runs are bitwise-continuous).
+
+        ``backend='orbax'`` writes an Orbax StandardCheckpointer directory
+        instead (tensor-wise storage; the production choice for large state
+        and multi-host saves -- SURVEY.md section 5.4 rebuild note).
+        """
+        counters = {"cur_nimg": self.cur_nimg, "batch_idx": self.batch_idx,
+                    "cur_tick": self.cur_tick}
+        if backend == "orbax":
+            import orbax.checkpoint as ocp
+            path = path or os.path.join(self.run_dir, "train_state_orbax")
+            with ocp.StandardCheckpointer() as ckptr:
+                ckptr.save(
+                    os.path.abspath(path),
+                    {"state": jax.tree_util.tree_map(np.asarray, self.state),
+                     "counters": {k: np.int64(v)
+                                  for k, v in counters.items()}},
+                    force=True)
+            return path
         import pickle
         path = path or os.path.join(self.run_dir, "train_state.pkl")
         payload = {
             "magic": "brushstroke_engine_tpu.train_state.v1",
             "state": jax.tree_util.tree_map(np.asarray, self.state),
-            "cur_nimg": self.cur_nimg,
-            "batch_idx": self.batch_idx,
-            "cur_tick": self.cur_tick,
+            **counters,
         }
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:
@@ -391,7 +408,24 @@ class TrainingLoop:
         os.replace(tmp, path)
         return path
 
-    def load_train_state(self, path: Optional[str] = None) -> bool:
+    def load_train_state(self, path: Optional[str] = None,
+                         backend: str = "pickle") -> bool:
+        if backend == "orbax":
+            import orbax.checkpoint as ocp
+            path = path or os.path.join(self.run_dir, "train_state_orbax")
+            if not os.path.isdir(path):
+                return False
+            with ocp.StandardCheckpointer() as ckptr:
+                payload = ckptr.restore(os.path.abspath(path))
+            self.state = jax.tree_util.tree_map(jnp.asarray,
+                                                payload["state"])
+            c = payload["counters"]
+            self.cur_nimg = int(c["cur_nimg"])
+            self.batch_idx = int(c["batch_idx"])
+            self.cur_tick = int(c["cur_tick"])
+            logger.info("Resumed training state (orbax) at %d kimg",
+                        self.cur_nimg // 1000)
+            return True
         import pickle
         path = path or os.path.join(self.run_dir, "train_state.pkl")
         if not os.path.isfile(path):

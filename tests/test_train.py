@@ -524,6 +524,76 @@ class TestShortLoop:
         img, _ = eng.render_stroke(patch, None, opts)
         assert img.shape == (32, 32, 4)
 
+    def test_train_state_roundtrip_backends(self, tmp_path):
+        """save/load_train_state round-trips bitwise on both the pickle
+        and orbax backends, including progress counters."""
+        from brushstroke_engine_tpu.train.loop import TrainingLoop
+
+        cfg, b = make_train_cfg(batch_size=2)
+        loop = TrainingLoop(cfg, b.enc_params, b.enc_state, None, None,
+                            run_dir=str(tmp_path))
+        loop.cur_nimg, loop.batch_idx, loop.cur_tick = 1234, 17, 3
+        ref = jax.tree_util.tree_map(np.asarray, loop.state)
+
+        for backend in ("pickle", "orbax"):
+            loop.save_train_state(backend=backend)
+            loop2 = TrainingLoop(cfg, b.enc_params, b.enc_state, None, None,
+                                 run_dir=str(tmp_path))
+            assert loop2.load_train_state(backend=backend)
+            assert (loop2.cur_nimg, loop2.batch_idx, loop2.cur_tick) == \
+                (1234, 17, 3)
+            got = jax.tree_util.tree_map(np.asarray, loop2.state)
+            for a, c in zip(jax.tree_util.tree_leaves(ref),
+                            jax.tree_util.tree_leaves(got)):
+                np.testing.assert_array_equal(a, c)
+
+    def test_loop_is_deterministic(self, tmp_path):
+        """Two loops with the same seed produce identical stats: all
+        randomness is threaded through seeded np/jax PRNGs (SURVEY.md
+        section 5.2 rebuild note)."""
+        from brushstroke_engine_tpu.train.loop import TrainingLoop
+
+        cfg, b = make_train_cfg(
+            batch_size=2,
+            main_phase_losses="0.1*iou_inv(uvs)",
+            geom_warmstart_kimg=0,
+            g_reg_interval=2, d_reg_interval=2,
+            augment=AugmentConfig.from_spec("bgc"),
+            kimg_per_tick=1)
+
+        geo_ds = SyntheticGeometryDataset(40, size=4)
+
+        def iters():
+            class StyleIter:
+                def __next__(self):
+                    return (np.random.RandomState(7).rand(2, 32, 32, 3)
+                            * 255).astype(np.uint8)
+
+            class GeomIter:
+                def __init__(self):
+                    self.i = 0
+
+                def __next__(self):
+                    self.i += 1
+                    return np.stack([geo_ds[self.i % 4],
+                                     geo_ds[(self.i + 1) % 4]])
+
+            return StyleIter(), GeomIter()
+
+        stats = []
+        for run in range(2):
+            si, gi = iters()
+            loop = TrainingLoop(cfg, b.enc_params, b.enc_state, si, gi,
+                                run_dir=str(tmp_path / f"r{run}"), seed=5)
+            loop.run(total_kimg=4 / 1000.0)
+            stats.append(dict(loop._last_stats))
+        assert stats[0].keys() == stats[1].keys()
+        for k in stats[0]:
+            if k.startswith("Timing/"):
+                continue        # wall-clock; first run pays compilation
+            np.testing.assert_allclose(stats[0][k], stats[1][k], rtol=0,
+                                       atol=0, err_msg=k)
+
     def test_warmstart_schedule(self, tmp_path):
         from brushstroke_engine_tpu.train.loop import TrainingLoop
 
