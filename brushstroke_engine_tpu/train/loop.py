@@ -367,6 +367,8 @@ class TrainingLoop:
                 if self._trace_active:
                     jax.profiler.stop_trace()
                     self._trace_active = False
+                if self.tb_writer is not None:
+                    self.tb_writer.flush()
                 return self.state
 
     # ------------------------------------------------------------------
