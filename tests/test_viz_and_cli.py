@@ -164,6 +164,30 @@ class TestCLI:
         assert r.returncode == 0, r.stderr[-2000:]
         assert "FID:" in r.stdout
 
+    def test_calc_metrics_cli(self, tmp_path):
+        import PIL.Image
+        bundle = small_bundle()
+        ckpt = str(tmp_path / "bundle.pkl")
+        save_native(ckpt, bundle)
+        rng = np.random.RandomState(0)
+        os.makedirs(tmp_path / "styles")
+        for i in range(8):
+            PIL.Image.fromarray(
+                (rng.rand(40, 40, 3) * 255).astype(np.uint8)).save(
+                str(tmp_path / "styles" / f"{i}.png"))
+        out = str(tmp_path / "metrics.json")
+        r = run_cli(os.path.join(REPO, "scripts", "calc_metrics.py"),
+                    "--gan_checkpoint", ckpt,
+                    "--data", str(tmp_path / "styles"),
+                    "--metrics", "fid,kid,is,pr,ppl",
+                    "--num_items", "8", "--batch_size", "4",
+                    "--out", out)
+        assert r.returncode == 0, r.stderr[-2000:]
+        import json as _json
+        vals = _json.loads(open(out).read())
+        for k in ("fid", "kid", "is", "precision", "recall", "ppl"):
+            assert k in vals and np.isfinite(vals[k]), (k, vals)
+
     def test_plot_colors_cli(self, tmp_path):
         import PIL.Image
         rng = np.random.RandomState(0)
