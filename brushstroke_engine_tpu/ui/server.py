@@ -34,8 +34,9 @@ from brushstroke_engine_tpu.ui import protocol
 
 logger = logging.getLogger(__name__)
 
-_STATIC_DIR = os.path.join(os.path.dirname(__file__), "static")
-_TEMPLATE_DIR = os.path.join(os.path.dirname(__file__), "templates")
+_PKG_DIR = os.path.dirname(os.path.abspath(__file__))
+_STATIC_DIR = os.path.join(_PKG_DIR, "static")
+_TEMPLATE_DIR = os.path.join(_PKG_DIR, "templates")
 
 
 def generate_z_file(gan_checkpoint):

@@ -138,12 +138,67 @@
     return [ev.clientX - rect.left, ev.clientY - rect.top];
   }
 
+  // ---- undo/redo: snapshot both canvases per completed stroke ----
+  // (reference client keeps a layer/undo stack; forger/ui/README.md)
+  const undoStack = [];
+  const redoStack = [];
+  const UNDO_LIMIT = 24;
+
+  function snapshot() {
+    return {
+      s: sctx.getImageData(0, 0, stroke.width, stroke.height),
+      p: pctx.getImageData(0, 0, paint.width, paint.height)
+    };
+  }
+
+  function restore(snap) {
+    sctx.putImageData(snap.s, 0, 0);
+    pctx.putImageData(snap.p, 0, 0);
+    // Server-side geometry canvas must match the stroke canvas again.
+    sendNewCanvas();
+    resendAll();
+  }
+
+  function resendAll() {
+    // Re-render the whole (restored) geometry canvas patch by patch.
+    const stride = patchWidth - 2 * cropMargin;
+    for (let y = 0; y < stroke.height; y += stride) {
+      for (let x = 0; x < stroke.width; x += stride) {
+        sendPatch(x, y);
+      }
+    }
+  }
+
+  function pushUndo() {
+    undoStack.push(snapshot());
+    if (undoStack.length > UNDO_LIMIT) undoStack.shift();
+    redoStack.length = 0;
+  }
+
+  function undo() {
+    if (!undoStack.length) return;
+    redoStack.push(snapshot());
+    restore(undoStack.pop());
+  }
+
+  function redo() {
+    if (!redoStack.length) return;
+    undoStack.push(snapshot());
+    restore(redoStack.pop());
+  }
+
   let last = null;
   stroke.addEventListener("pointerdown", function (ev) {
     drawing = true;
+    pushUndo();
     last = canvasPos(ev);
+    brushRadius = parseInt(
+      document.getElementById("brushSize").value, 10);
+    const erasing = document.getElementById("eraser").checked;
     sctx.lineCap = "round";
     sctx.lineJoin = "round";
+    sctx.globalCompositeOperation =
+      erasing ? "destination-out" : "source-over";
     sctx.strokeStyle = "rgba(0,0,0,1)";
     sctx.lineWidth = brushRadius * 2;
     markDirty(last[0], last[1]);
@@ -188,6 +243,13 @@
                value: ev.target.checked });
   };
   document.getElementById("featureBlending").onchange = sendNewCanvas;
+  document.getElementById("undo").onclick = undo;
+  document.getElementById("redo").onclick = redo;
+  window.addEventListener("keydown", function (ev) {
+    if (!(ev.ctrlKey || ev.metaKey)) return;
+    if (ev.key === "z") { ev.preventDefault(); undo(); }
+    if (ev.key === "y") { ev.preventDefault(); redo(); }
+  });
 
   document.querySelectorAll(".brush-grid img").forEach(function (img) {
     img.onclick = function () {

@@ -90,6 +90,22 @@ class TestMockServer(ServerTestBase):
         resp = self.fetch("/static/app.js")
         assert resp.code == 200
 
+    def test_js_element_ids_exist_in_template(self):
+        """Every DOM id app.js references must exist in home.html (no JS
+        runtime in this environment, so cross-check statically)."""
+        import re
+        from brushstroke_engine_tpu import ui as ui_pkg
+        base = os.path.dirname(ui_pkg.__file__)
+        js = open(os.path.join(base, "static", "app.js")).read()
+        html = open(os.path.join(base, "templates", "home.html")).read()
+        ids = set(re.findall(r"getElementById\([\"']([^\"']+)[\"']\)", js))
+        assert ids, "no getElementById calls found?"
+        missing = [i for i in ids if f'id="{i}"' not in html]
+        assert not missing, missing
+        # Balanced braces/parens as a cheap syntax smoke.
+        for o, c in ("{}", "()", "[]"):
+            assert js.count(o) == js.count(c), (o, js.count(o), js.count(c))
+
     @tornado.testing.gen_test
     def test_websocket_mock_render(self):
         ws = yield tornado.websocket.websocket_connect(
