@@ -44,13 +44,16 @@ def flagship_generator_config(img_resolution: int = 128,
         num_bf16_res=num_bf16_res)
 
 
-def flagship_discriminator_config(img_resolution: int = 128
+def flagship_discriminator_config(img_resolution: int = 128,
+                                  num_bf16_res: int = 0
                                   ) -> DiscriminatorConfig:
     # D sees only the 3-channel image; geometry conditions G, not D
     # (reference loss_modified.py run_D, loss_modified.py:101-106).
+    # The reference 'auto' spec trains D with fp16 at the 4 highest
+    # resolutions (train.py cfg specs); bf16 is the TPU analog.
     return DiscriminatorConfig(
         c_dim=0, img_resolution=img_resolution, img_channels=3,
-        channel_base=16384, channel_max=128)
+        channel_base=16384, channel_max=128, num_bf16_res=num_bf16_res)
 
 
 def flagship_bundle(img_resolution: int = 128, seed: int = 0,

@@ -46,7 +46,8 @@ def main():
         b = flagship_bundle(img_resolution=args.resolution, num_bf16_res=4)
         cfg = TrainConfig(
             gen_cfg=b.gen_cfg,
-            disc_cfg=flagship_discriminator_config(args.resolution),
+            disc_cfg=flagship_discriminator_config(args.resolution,
+                                                   num_bf16_res=4),
             enc_cfg=b.enc_cfg, enc_res=(0, 1), batch_size=args.batch,
             main_phase_losses="", geom_phase_losses="1.0*iou_inv(uvs)",
             augment=AugmentConfig.from_spec("bgc"),

@@ -48,6 +48,10 @@ def build_parser():
     ap.add_argument("--zdim", type=int, default=64)
     ap.add_argument("--wdim", type=int, default=64)
     ap.add_argument("--channel_max", type=int, default=128)
+    ap.add_argument("--num_bf16_res", type=int, default=4,
+                    help="Run G and D at bf16 for the N highest "
+                         "resolutions (reference 'auto' spec fp16 analog; "
+                         "0 disables).")
     ap.add_argument("--color_format", default="triad",
                     choices=["orig", "triad", "canvas"])
     ap.add_argument("--color_w_channels", type=int, default=0)
@@ -151,12 +155,14 @@ def setup_config(args):
         color_format=args.color_format,
         color_w_channels=args.color_w_channels,
         channel_base=16384, channel_max=args.channel_max,
+        num_bf16_res=args.num_bf16_res,
         positional_encoding=args.positional_encoding,
         posenc_inject_resolutions=posenc_res,
         posenc_injection_mode=args.posenc_injection_mode)
     disc_cfg = DiscriminatorConfig(
         c_dim=0, img_resolution=res, img_channels=3,
         channel_base=16384, channel_max=args.channel_max,
+        num_bf16_res=args.num_bf16_res,
         architecture="resnet" if args.d_arch == "resnet" else "resnet")
 
     gamma = args.gamma if args.gamma is not None else \

@@ -317,6 +317,47 @@ class TestPhases:
             for k, v in s.items():
                 assert np.isfinite(float(v)), k
 
+    def test_phase_steps_with_bf16_models(self):
+        """D/G phases (incl. R1 double-backward) run with bf16 blocks in
+        both networks -- guards the conv transpose-rule dtype class of
+        bugs (ops/conv.py preferred_element_type note)."""
+        b = small_bundle()
+        from brushstroke_engine_tpu.models.synthesis import SynthesisConfig
+        import dataclasses
+        gen_cfg = dataclasses.replace(
+            b.gen_cfg,
+            synthesis=dataclasses.replace(b.gen_cfg.synthesis,
+                                          num_bf16_res=2))
+        cfg = TrainConfig(
+            gen_cfg=gen_cfg,
+            disc_cfg=DiscriminatorConfig(
+                c_dim=0, img_resolution=32, img_channels=3,
+                channel_base=2048, channel_max=32, num_bf16_res=2),
+            enc_cfg=b.enc_cfg, enc_res=(0,), batch_size=2,
+            main_phase_losses="0.1*iou_inv(uvs)",
+            augment=AugmentConfig.from_spec("bgc"))
+        state = init_train_state(cfg, KEY, g_params=b.gen_params,
+                                 g_state=b.gen_state)
+        rng = np.random.RandomState(0)
+        real = jnp.asarray(rng.randn(2, 32, 32, 3), jnp.float32)
+        geom = jnp.asarray((rng.rand(2, 32, 32, 1) > 0.5), jnp.float32)
+        z = jnp.asarray(rng.randn(2, cfg.gen_cfg.z_dim), jnp.float32)
+        feats = train_steps.encode_geometry(cfg, b.enc_params, b.enc_state,
+                                            geom)
+        state, s1 = train_steps.d_main_step(cfg, state, real, feats, z,
+                                            jax.random.PRNGKey(1))
+        state, s2 = train_steps.d_reg_step(cfg, state, real,
+                                           jax.random.PRNGKey(2))
+        state, s3 = train_steps.g_main_step(cfg, state, feats, geom, z,
+                                            jax.random.PRNGKey(3),
+                                            jnp.float32(0.99))
+        state, s4 = train_steps.g_reg_step(cfg, state, feats, z,
+                                           jax.random.PRNGKey(4),
+                                           jnp.float32(0.99))
+        for s in (s1, s2, s3, s4):
+            for k, v in s.items():
+                assert np.isfinite(float(v)), k
+
     def test_geom_step_respects_mask(self):
         cfg, b = make_train_cfg(geom_warmstart_mode="last_and_rgb")
         state = init_train_state(cfg, KEY, g_params=b.gen_params,
