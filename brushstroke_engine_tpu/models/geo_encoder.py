@@ -77,7 +77,8 @@ def _reflect_conv(params, x, stride: int = 1, pad: int = 1):
         x, params["weight"], (stride, stride), "VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         precision=conv_precision(x.dtype),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32 if x.dtype == jnp.float32
+        else None)
     return y + params["bias"]
 
 
@@ -94,7 +95,8 @@ def _conv_transpose(params, x, stride: int = 2, pad: int = 1,
         lhs_dilation=(stride, stride),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         precision=conv_precision(x.dtype),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32 if x.dtype == jnp.float32
+        else None)
     return y + params["bias"]
 
 
@@ -122,8 +124,8 @@ def upsample_bilinear_align_corners(x, factor: int = 2):
         m[np.arange(n_out), hi] += frac
         return m
 
-    wh = jnp.asarray(weights(h, h * factor))
-    ww = jnp.asarray(weights(w, w * factor))
+    wh = jnp.asarray(weights(h, h * factor)).astype(x.dtype)
+    ww = jnp.asarray(weights(w, w * factor)).astype(x.dtype)
     from brushstroke_engine_tpu.ops.precision import conv_precision
     x = jnp.einsum("ih,bhwc->biwc", wh, x, precision=conv_precision(x.dtype))
     x = jnp.einsum("jw,bhwc->bhjc", ww, x, precision=conv_precision(x.dtype))
@@ -355,16 +357,34 @@ def geo_encoder_encode(cfg: GeoEncoderConfig, params, state, geom,
     if isinstance(res, int):
         res = [res]
     x = preprocess(cfg, geom)
+
+    # Production fast path: the conditioning encoder is frozen and never
+    # differentiated, so run it in bf16 (inference BN is just scale/shift;
+    # its features feed a generator that itself runs bf16 at the hot
+    # resolutions).  'strict' mode keeps f32 for golden/checkpoint parity.
+    from brushstroke_engine_tpu.ops.precision import get_precision_mode
+    fast = (not train) and get_precision_mode() == "fast"
+    if fast:
+        def _cast(t):
+            return jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.bfloat16)
+                if a.dtype == jnp.float32 else a, t)
+        params, state = _cast(params), _cast(state)
+        x = x.astype(jnp.bfloat16)
+
+    def _out(feats):
+        return [f.astype(jnp.float32) for f in feats] if fast else feats
+
     encoding, _ = _encoder_forward(cfg, params, state, x, train)
     max_res = max(res)
     if cfg.kind == "conv":
         assert max_res == 0, "conv AE supports bottleneck resolution only"
-        return [encoding]
+        return _out([encoding])
     if max_res == 0:
-        return [encoding]
+        return _out([encoding])
     _, ups, _ = _decoder_layers(cfg, params, state, encoding, max_res, train)
     results = [encoding] + ups
-    return [results[r] for r in res]
+    return _out([results[r] for r in res])
 
 
 def geo_encoder_apply(cfg: GeoEncoderConfig, params, state, x,

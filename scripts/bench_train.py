@@ -72,10 +72,11 @@ def main():
 
     @jax.jit
     def run_steps(state, real, geom, key):
-        feats = ts.encode_geometry(cfg, ep, es, geom)
-
         def body(i, carry):
             state, key = carry
+            # Encode INSIDE the loop: real training encodes fresh geometry
+            # every batch (loop.py), so the number must include it.
+            feats = ts.encode_geometry(cfg, ep, es, geom)
             key, k1, k2, k3, k4, kz1, kz2 = jax.random.split(key, 7)
             z1 = jax.random.normal(kz1, (n, cfg.gen_cfg.z_dim))
             z2 = jax.random.normal(kz2, (n, cfg.gen_cfg.z_dim))

@@ -243,6 +243,23 @@ class TestGeoEncoder:
         assert cfg.featuremap_resolution(64, 0) == 8
         assert cfg.featuremap_resolution(64, 1) == 16
 
+    def test_fast_mode_bf16_encode_close_to_strict(self):
+        """Production (fast) mode runs the frozen encoder in bf16; features
+        must stay float32-typed and close to the strict-mode values."""
+        from brushstroke_engine_tpu.ops.precision import precision_mode
+        cfg = GeoEncoderConfig(kind="sauto", preproc="-11inverse")
+        params, state = geo_encoder_init(cfg, KEY)
+        geom = jnp.asarray(
+            (np.random.RandomState(0).rand(2, 64, 64, 1) > 0.5), jnp.float32)
+        with precision_mode("strict"):
+            ref = geo_encoder_encode(cfg, params, state, geom, res=[0, 1])
+        with precision_mode("fast"):
+            fast = geo_encoder_encode(cfg, params, state, geom, res=[0, 1])
+        for a, b in zip(ref, fast):
+            assert b.dtype == jnp.float32
+            scale = float(jnp.abs(a).max()) + 1e-8
+            assert float(jnp.abs(a - b).max()) < 0.02 * scale
+
     def test_sauto_full_roundtrip(self):
         cfg = GeoEncoderConfig(kind="sauto", preproc="none")
         params, state = geo_encoder_init(cfg, KEY)
