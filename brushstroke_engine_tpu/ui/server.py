@@ -49,13 +49,23 @@ class DrawingWebSocketHandler(tornado.websocket.WebSocketHandler):
     """Per-connection painting session (reference util.py:107-245)."""
 
     def initialize(self, paint_engine, style_seed, debug_dir,
-                   saved_zs_filename=None, libraries=None):
+                   saved_zs_filename=None, libraries=None,
+                   use_device_canvas=False):
         self.helper = PaintingHelper(paint_engine, style_seed=style_seed,
                                      debug_dir=debug_dir)
         self.zs_file = saved_zs_filename
         self.libraries = libraries or {}
         self.use_positions = False
         self.uvs_mapping = False
+        # Device-resident feature canvas (engine/device_canvas.py): the
+        # whole per-stroke step is one donated-state device dispatch
+        # (~2.5 ms at 256px) instead of host feature traffic.  Requires a
+        # real GAN engine; created lazily per new_canvas.
+        self.use_device_canvas = use_device_canvas and \
+            getattr(paint_engine, "gen_params", None) is not None
+        self.dev_session = None
+        self._canvas_shape = None
+        self._blend_level = 0
 
     def open(self):
         logger.debug("Socket opened.")
@@ -122,6 +132,25 @@ class DrawingWebSocketHandler(tornado.websocket.WebSocketHandler):
             opts.position = None
         opts.enable_uvs_mapping = self.uvs_mapping
 
+        if self.use_device_canvas and self._blend_level > 0 and \
+                self.use_positions:
+            from brushstroke_engine_tpu.engine.device_canvas import (
+                DevicePaintSession,
+            )
+            if self.dev_session is None and self._canvas_shape:
+                self.dev_session = DevicePaintSession(
+                    self.helper.engine, self._canvas_shape[0],
+                    self._canvas_shape[1],
+                    feature_blending_level=self._blend_level,
+                    crop_margin=int(meta.get("crop_margin", 0)))
+            if self.dev_session is not None:
+                res_img, meta_out = self.dev_session.render_stroke(
+                    bg_img, opts, int(meta["x"]), int(meta["y"]))
+                head = protocol.int32_to_binary(meta["extra_data"] or 0)
+                self.write_message(head + protocol.image_patch_to_binary(
+                    res_img, meta_out["x"], meta_out["y"]), binary=True)
+                return
+
         res_img, debug_img, meta_out = self.helper.render_stroke(
             bg_img, fg_img, opts, meta)
         head = protocol.int32_to_binary(meta["extra_data"] or 0)
@@ -161,6 +190,10 @@ class DrawingWebSocketHandler(tornado.websocket.WebSocketHandler):
             self.helper.make_new_canvas(
                 int(msg.get("rows")), int(msg.get("cols")),
                 feature_blending=int(msg.get("feature_blending", 0)))
+            self._canvas_shape = (int(msg.get("rows")),
+                                  int(msg.get("cols")))
+            self._blend_level = int(msg.get("feature_blending", 0))
+            self.dev_session = None
         else:
             logger.warning(f"Unknown json message type {mtype}")
 
@@ -214,7 +247,7 @@ class BrushIconHandler(tornado.web.RequestHandler):
 
 def create_server(encoder_checkpoint, gan_checkpoint, debug_dir=None,
                   style_seed=None, enable_z_saving=False,
-                  library_specs=None):
+                  library_specs=None, use_device_canvas=False):
     engine = PaintEngineFactory.create(gan_checkpoint,
                                        encoder_checkpoint=encoder_checkpoint)
     z_file = generate_z_file(gan_checkpoint)
@@ -236,7 +269,8 @@ def create_server(encoder_checkpoint, gan_checkpoint, debug_dir=None,
          dict(paint_engine=engine, style_seed=style_seed,
               debug_dir=debug_dir,
               saved_zs_filename=(z_file if enable_z_saving else None),
-              libraries=libraries)),
+              libraries=libraries,
+              use_device_canvas=use_device_canvas)),
         (r"/brush/([^/]+)/([^/]+)\.jpg", BrushIconHandler,
          dict(libraries=libraries)),
         (r"/static/(.*)", tornado.web.StaticFileHandler,
@@ -275,6 +309,11 @@ def run_main(argv=None):
     ap.add_argument("--style_seed", type=int, default=None)
     ap.add_argument("--disable_z_saving", action="store_true")
     ap.add_argument("--libraries", type=str, default="Default:random:default")
+    ap.add_argument("--device_canvas", action="store_true",
+                    help="Keep the per-session feature canvas resident on "
+                         "device (one dispatch per stroke, ~2.5 ms at "
+                         "256px); requires positional noise enabled in "
+                         "the client.")
     ap.add_argument("--log_level", type=int, default=logging.INFO)
     args = ap.parse_args(argv)
     logging.basicConfig(level=args.log_level)
@@ -285,7 +324,8 @@ def run_main(argv=None):
         debug_dir=args.debug_dir,
         style_seed=args.style_seed,
         enable_z_saving=not args.disable_z_saving,
-        library_specs=parse_libraries(args.libraries))
+        library_specs=parse_libraries(args.libraries),
+        use_device_canvas=args.device_canvas)
     server.listen(args.port)
     logger.info(f"Serving on http://localhost:{args.port}")
     tornado.ioloop.IOLoop.instance().start()

@@ -174,3 +174,50 @@ class TestGanServer(ServerTestBase):
         resp = self.fetch("/brush/Lib/1.jpg")
         assert resp.code == 200
         assert len(resp.body) > 100
+
+
+class TestGanServerDeviceCanvas(ServerTestBase):
+    def _prepare(self):
+        bundle = small_bundle()
+        self.gan_checkpoint = os.path.join(self.tmpdir, "bundle.pkl")
+        save_native(self.gan_checkpoint, bundle)
+
+    def get_app(self):
+        seeds = os.path.join(self.tmpdir, "seeds.txt")
+        with open(seeds, "w") as f:
+            f.write("1\n2\n3\n")
+        return create_server(
+            encoder_checkpoint=None,
+            gan_checkpoint=self.gan_checkpoint,
+            library_specs=[["Lib", "disp", seeds]],
+            use_device_canvas=True)
+
+    @tornado.testing.gen_test(timeout=120)
+    def test_device_canvas_session(self):
+        """--device_canvas: strokes render through the device-resident
+        feature canvas (one donated-state dispatch per stroke)."""
+        ws = yield tornado.websocket.websocket_connect(
+            f"ws://localhost:{self.get_http_port()}/websocket/")
+        info = json.loads((yield ws.read_message()))
+        pw = info["data"]["patch_width"]
+        yield ws.read_message()  # brushinfo
+
+        ws.write_message(json.dumps({"type": "new_canvas", "rows": 128,
+                                     "cols": 128, "feature_blending": 2}))
+        ws.write_message(json.dumps({"type": "set_option",
+                                     "option": "positions", "value": True}))
+        ws.write_message(json.dumps({"type": "set_brush", "seed": 3}))
+        yield ws.read_message()  # brushinfo
+
+        patch = np.zeros((pw, pw, 4), np.uint8)
+        patch[4:20, 4:20, 3] = 255
+        for (x, y) in ((16, 16), (32, 16)):   # overlapping strokes
+            raw = protocol.encode_render_request(patch, x=x, y=y,
+                                                 crop_margin=4)
+            ws.write_message(raw, binary=True)
+            resp = yield ws.read_message()
+            rtype, meta, img = protocol.decode_render_response(resp)
+            assert rtype == 0
+            assert img.shape == (pw - 8, pw - 8, 4)
+            assert np.isfinite(img.astype(np.float32)).all()
+        ws.close()
