@@ -254,10 +254,30 @@ def main(argv=None):
     if args.dp:
         from brushstroke_engine_tpu.parallel.mesh import make_mesh
         mesh = make_mesh(args.dp)
+
+    # Tick-time evaluation (reference training_loop_modified.py:552-621):
+    # visualizer sheets every tick, metric suite + FID every --snap ticks.
+    hooks = None
+    metric_names = tuple(m for m in args.metrics.split(",") if m)
+    if metric_names:
+        from brushstroke_engine_tpu.train.eval_hooks import make_eval_hooks
+        fid_real = None
+        if "fid" in metric_names and args.data:
+            n = min(len(style_ds), 256)
+            fid_real = [
+                np.stack([style_ds[j]
+                          for j in range(i, min(i + 16, n))])
+                for i in range(0, n, 16)]
+        metric_geom_iter = BatchIterator(geom_ds, 4, seed=args.seed + 2)
+        hooks = make_eval_hooks(
+            image_snapshot_ticks=1, metric_snapshot_ticks=args.snap,
+            fid_real_batches=fid_real, geom_iterator=metric_geom_iter,
+            metrics=metric_names)
+
     loop = TrainingLoop(cfg, enc_params, enc_state, style_iter, geom_iter,
                         run_dir=run_dir, seed=args.seed,
                         use_fused=args.fused, mesh=mesh,
-                        profile_dir=args.profile_dir)
+                        profile_dir=args.profile_dir, hooks=hooks)
     if g_params is not None:
         from brushstroke_engine_tpu.train.state import init_train_state
         import jax
