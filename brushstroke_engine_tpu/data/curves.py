@@ -11,7 +11,7 @@ skimage dependency, vectorized).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import numpy as np
 

@@ -15,7 +15,7 @@ import pickle
 import random
 import re
 import zipfile
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

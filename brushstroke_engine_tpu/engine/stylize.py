@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import logging
 import math
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 
@@ -154,9 +154,7 @@ def stylize_image_batched(engine, geom: np.ndarray, brush_options, *,
     """
     import jax.numpy as jnp
     from brushstroke_engine_tpu.engine import areas
-    from brushstroke_engine_tpu.engine.canvas import (
-        FeatureCanvas, generate_dirty_area_alpha,
-    )
+    from brushstroke_engine_tpu.engine.canvas import FeatureCanvas
 
     patch_width = engine.patch_width
     stride = patch_width - 2 * overlap_margin

@@ -17,9 +17,7 @@ from brushstroke_engine_tpu.models.generator import (
 from brushstroke_engine_tpu.models.geo_encoder import (
     GeoEncoderConfig, geo_encoder_init,
 )
-from brushstroke_engine_tpu.models.discriminator import (
-    DiscriminatorConfig, discriminator_init,
-)
+from brushstroke_engine_tpu.models.discriminator import DiscriminatorConfig
 from brushstroke_engine_tpu.utils.checkpoint import EngineBundle
 
 

@@ -9,7 +9,6 @@ fixed while w is perturbed.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import numpy as np
 import jax

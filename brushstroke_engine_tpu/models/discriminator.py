@@ -19,7 +19,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from brushstroke_engine_tpu.ops import setup_filter, downsample2d
+from brushstroke_engine_tpu.ops import setup_filter
 from brushstroke_engine_tpu.models.layers import (
     fc_init, fc_apply, conv_layer_init, conv_layer_apply,
 )

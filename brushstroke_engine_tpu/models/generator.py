@@ -9,7 +9,7 @@ position-normalized noise wrapping, positional-encoding generation, and
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass
 from typing import Dict, Optional, Tuple
 
 import jax

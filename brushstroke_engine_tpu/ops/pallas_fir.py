@@ -30,8 +30,6 @@ composition so arbitrary-order autodiff (R1/PL) stays native.
 
 from __future__ import annotations
 
-import math
-from functools import partial
 from typing import Optional
 
 import numpy as np

@@ -22,13 +22,11 @@ Layout: activations are NHWC (TPU-native), filters are [fh, fw] numpy/jnp.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from brushstroke_engine_tpu.ops.filters import setup_filter
 
 
 def _parse_scaling(scaling):

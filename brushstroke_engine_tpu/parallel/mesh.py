@@ -22,11 +22,9 @@ Per-host input sharding replaces the reference's rank-aware InfiniteSampler
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

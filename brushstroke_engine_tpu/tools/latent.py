@@ -11,13 +11,13 @@ Rebuild of the reference latent tools:
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from brushstroke_engine_tpu.models.mapping import MappingConfig, mapping_apply
+from brushstroke_engine_tpu.models.mapping import mapping_apply
 
 
 def get_w_stats(gen_cfg, mapping_params, num_samples: int = 10000,

@@ -10,7 +10,7 @@ phase uses its own Adam(0, 0.99) over G params (reference :291-292).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional, Tuple
 
 import jax

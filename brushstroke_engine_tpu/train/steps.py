@@ -15,7 +15,6 @@ a tiny jitted function the host calls every ``ada_interval`` batches.
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

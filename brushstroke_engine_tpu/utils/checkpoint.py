@@ -19,7 +19,6 @@ every tensor into our layouts:
 from __future__ import annotations
 
 import dataclasses
-import json
 import logging
 import os
 import pickle

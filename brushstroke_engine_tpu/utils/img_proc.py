@@ -6,7 +6,7 @@ thresholding, blur, entropy, RandomPatchGenerator).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 import math
 import re
 from collections import defaultdict
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 import jax.numpy as jnp

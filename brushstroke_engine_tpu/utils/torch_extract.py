@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import io
 import pickle
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import numpy as np
 
