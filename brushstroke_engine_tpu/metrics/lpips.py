@@ -130,6 +130,13 @@ def _features(model: LPIPSModel, x):
 def lpips_pair(x, y, model: Optional[LPIPSModel] = None):
     """LPIPS distance between NHWC image batches in [-1, 1] -> [B]."""
     model = model or get_default_model()
+    # The AlexNet stride/pool chain produces zero-size maps (-> nan means)
+    # below ~32px; upsample tiny toy inputs to the minimum working size.
+    if x.shape[1] < 32 or x.shape[2] < 32:
+        shape = (x.shape[0], max(32, x.shape[1]), max(32, x.shape[2]),
+                 x.shape[3])
+        x = jax.image.resize(x, shape, method="bilinear")
+        y = jax.image.resize(y, shape, method="bilinear")
     fx = _features(model, x.astype(jnp.float32))
     fy = _features(model, y.astype(jnp.float32))
     total = 0.0

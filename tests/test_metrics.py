@@ -40,6 +40,17 @@ class TestLpips:
         d_far = float(jnp.mean(lpips_batched(x, far)))
         assert 0 < d_near < d_far
 
+    def test_finite_below_32px(self):
+        """Inputs under ~32px used to hit zero-size feature maps in the
+        stride/pool chain -> nan means; tiny inputs are upsampled now."""
+        for size in (16, 25, 31):
+            x = jax.random.normal(KEY, (2, size, size, 3))
+            y = jax.random.normal(jax.random.PRNGKey(1), x.shape)
+            d = np.asarray(lpips_batched(x, y))
+            assert np.isfinite(d).all() and (d > 0).all(), size
+            np.testing.assert_allclose(np.asarray(lpips_batched(x, x)),
+                                       0.0, atol=1e-5)
+
     def test_deterministic_default_model(self):
         m1 = LPIPSModel.random_init(0)
         m2 = LPIPSModel.random_init(0)
