@@ -386,6 +386,11 @@ class TrainingLoop:
         """
         counters = {"cur_nimg": self.cur_nimg, "batch_idx": self.batch_idx,
                     "cur_tick": self.cur_tick}
+        # Host-side PRNG streams: restoring these makes a resumed run
+        # bitwise-continuous with the uninterrupted one (the reference
+        # restores params only and replays fresh randomness).
+        rng_state = {"host_key": np.asarray(self.host_key),
+                     "np_rng": self.rng.bit_generator.state}
         if backend == "orbax":
             import orbax.checkpoint as ocp
             path = path or os.path.join(self.run_dir, "train_state_orbax")
@@ -394,14 +399,21 @@ class TrainingLoop:
                     os.path.abspath(path),
                     {"state": jax.tree_util.tree_map(np.asarray, self.state),
                      "counters": {k: np.int64(v)
-                                  for k, v in counters.items()}},
+                                  for k, v in counters.items()},
+                     "host_key": rng_state["host_key"]},
                     force=True)
+            # numpy Generator state is a nested dict of python ints; store
+            # beside the orbax dir (not a tensor).
+            import pickle
+            with open(path + ".nprng.pkl", "wb") as f:
+                pickle.dump(rng_state["np_rng"], f)
             return path
         import pickle
         path = path or os.path.join(self.run_dir, "train_state.pkl")
         payload = {
             "magic": "brushstroke_engine_tpu.train_state.v1",
             "state": jax.tree_util.tree_map(np.asarray, self.state),
+            "rng_state": rng_state,
             **counters,
         }
         tmp = path + ".tmp"
@@ -425,6 +437,12 @@ class TrainingLoop:
             self.cur_nimg = int(c["cur_nimg"])
             self.batch_idx = int(c["batch_idx"])
             self.cur_tick = int(c["cur_tick"])
+            if "host_key" in payload:
+                self.host_key = jnp.asarray(payload["host_key"])
+            import pickle
+            if os.path.isfile(path + ".nprng.pkl"):
+                with open(path + ".nprng.pkl", "rb") as f:
+                    self.rng.bit_generator.state = pickle.load(f)
             logger.info("Resumed training state (orbax) at %d kimg",
                         self.cur_nimg // 1000)
             return True
@@ -440,6 +458,9 @@ class TrainingLoop:
         self.cur_nimg = payload["cur_nimg"]
         self.batch_idx = payload["batch_idx"]
         self.cur_tick = payload["cur_tick"]
+        if "rng_state" in payload:
+            self.host_key = jnp.asarray(payload["rng_state"]["host_key"])
+            self.rng.bit_generator.state = payload["rng_state"]["np_rng"]
         logger.info("Resumed training state at %d kimg",
                     self.cur_nimg // 1000)
         return True

@@ -588,6 +588,52 @@ class TestShortLoop:
                             jax.tree_util.tree_leaves(got)):
                 np.testing.assert_array_equal(a, c)
 
+    def test_resume_is_bitwise_continuous(self, tmp_path):
+        """Interrupt + auto_resume produces the same params as an
+        uninterrupted run: full state AND host PRNG streams round-trip
+        (constant data iterators isolate the state restoration)."""
+        from brushstroke_engine_tpu.train.loop import TrainingLoop
+
+        cfg, b = make_train_cfg(
+            batch_size=2, main_phase_losses="0.1*iou_inv(uvs)",
+            geom_warmstart_kimg=0, g_reg_interval=2, d_reg_interval=2,
+            augment=AugmentConfig.from_spec("bgc"), kimg_per_tick=0)
+
+        style = (np.random.RandomState(3).rand(2, 32, 32, 3)
+                 * 255).astype(np.uint8)
+        geo_ds = SyntheticGeometryDataset(40, size=2)
+        tri = np.stack([geo_ds[0], geo_ds[1]])
+
+        class Const:
+            def __init__(self, arr):
+                self.arr = arr
+
+            def __next__(self):
+                return self.arr
+
+        def make_loop(d, auto=False):
+            return TrainingLoop(cfg, b.enc_params, b.enc_state,
+                                Const(style), Const(tri), run_dir=str(d),
+                                seed=5, auto_resume=auto)
+
+        # Interrupted: 2 batches, checkpoint, fresh process resumes to 4.
+        la = make_loop(tmp_path / "a")
+        la.run(total_kimg=4 / 1000.0)
+        lb = make_loop(tmp_path / "a", auto=True)
+        assert lb.cur_nimg == 4
+        lb.run(total_kimg=8 / 1000.0)
+
+        # Uninterrupted: 4 batches straight.
+        lc = make_loop(tmp_path / "c")
+        lc.run(total_kimg=8 / 1000.0)
+
+        for x, y in zip(jax.tree_util.tree_leaves(lb.state["g_params"]),
+                        jax.tree_util.tree_leaves(lc.state["g_params"])):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+        for x, y in zip(jax.tree_util.tree_leaves(lb.state["d_params"]),
+                        jax.tree_util.tree_leaves(lc.state["d_params"])):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
     def test_loop_is_deterministic(self, tmp_path):
         """Two loops with the same seed produce identical stats: all
         randomness is threaded through seeded np/jax PRNGs (SURVEY.md
