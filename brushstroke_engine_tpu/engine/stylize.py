@@ -136,6 +136,67 @@ def composite_on_white(canvas: np.ndarray) -> np.ndarray:
          np.full_like(canvas[..., 3:4], 255)], axis=-1)
 
 
+def _gather_feature_windows(ffeat, fmask, fys, fxs, border):
+    """Batched read of feature-canvas windows (device-side).
+
+    Window size is static from ``border.shape``; returns (feats [B,R,R,C],
+    alpha [B,R,R,1], upd [B,R,R]).  alpha keeps stored features where they
+    exist (simplified whole-tile variant of the interactive dirty-area
+    ramp); upd marks texels this tile may write (crop border excluded).
+    """
+    import jax
+    import jax.numpy as jnp
+    r = border.shape[0]
+    c = ffeat.shape[-1]
+
+    def one(fy, fx):
+        f = jax.lax.dynamic_slice(ffeat, (0, fy, fx, 0), (1, r, r, c))[0]
+        m = jax.lax.dynamic_slice(fmask, (fy, fx), (r, r))
+        return f, m
+
+    feats, masks = jax.vmap(one)(fys, fxs)
+    alpha = masks[..., None]
+    upd = (1.0 - masks) * border[None]
+    return feats, alpha, upd
+
+
+_WINDOW_FNS = {}
+
+
+def _window_fns():
+    """Module-level jitted window ops (per-call jax.jit wrappers would
+    recompile every stylize invocation)."""
+    if "gather" not in _WINDOW_FNS:
+        import jax
+        _WINDOW_FNS["gather"] = jax.jit(_gather_feature_windows)
+        _WINDOW_FNS["scatter"] = jax.jit(_scatter_feature_windows,
+                                         donate_argnums=(0, 1))
+    return _WINDOW_FNS["gather"], _WINDOW_FNS["scatter"]
+
+
+def _scatter_feature_windows(ffeat, fmask, new_feats, upds, fys, fxs):
+    """Sequential device-side write-back of a wave's feature windows
+    (tiles within a wave never overlap, so order is irrelevant)."""
+    import jax
+    import jax.numpy as jnp
+    r = new_feats.shape[1]
+    c = new_feats.shape[-1]
+
+    def body(i, carry):
+        fe, ma = carry
+        fy, fx = fys[i], fxs[i]
+        win = jax.lax.dynamic_slice(fe, (0, fy, fx, 0), (1, r, r, c))
+        u = upds[i][None, :, :, None]
+        merged = win * (1 - u) + new_feats[i][None] * u
+        fe = jax.lax.dynamic_update_slice(fe, merged, (0, fy, fx, 0))
+        mwin = jax.lax.dynamic_slice(ma, (fy, fx), (r, r))
+        ma = jax.lax.dynamic_update_slice(
+            ma, jnp.maximum(mwin, upds[i]), (fy, fx))
+        return fe, ma
+
+    return jax.lax.fori_loop(0, fys.shape[0], body, (ffeat, fmask))
+
+
 def stylize_image_batched(engine, geom: np.ndarray, brush_options, *,
                           overlap_margin: int = 10, crop_margin: int = 10,
                           feature_blending_level: int = 2,
@@ -152,9 +213,8 @@ def stylize_image_batched(engine, geom: np.ndarray, brush_options, *,
     blending still flows through the feature canvas.  This turns ~250
     sequential patch dispatches for a 2000x2000 canvas into 4 batched waves.
     """
+    import jax
     import jax.numpy as jnp
-    from brushstroke_engine_tpu.engine import areas
-    from brushstroke_engine_tpu.engine.canvas import FeatureCanvas
 
     patch_width = engine.patch_width
     stride = patch_width - 2 * overlap_margin
@@ -166,16 +226,30 @@ def stylize_image_batched(engine, geom: np.ndarray, brush_options, *,
                                      overlap_margin, geom=geom, mode=mode)
     canvas = np.zeros((rows, cols, 4), np.uint8)
 
+    # The feature canvas stays DEVICE-resident for the whole render; the
+    # only host<->device traffic is geometry in and uint8 RGBA out.  (The
+    # first version round-tripped f32 features per chunk -- on a tunneled
+    # dev chip that was ~70 MB/chunk and dominated wall-clock.)
     blending = feature_blending_level > 0
-    fcanvas = None
     blend_res = None
-    blend_margin = 16
+    gather_fn = scatter_fn = None
+    ffeat = fmask = border = None
     if blending:
         down = 2 ** (feature_blending_level - 1)
-        fcanvas = FeatureCanvas(rows, cols, down_factor=down)
         blend_res = patch_width // down
         feat_ch = engine.gen_cfg.synthesis.channels(blend_res)
-        fcanvas._init_canvases(np.zeros((1, 1, 1, feat_ch), np.float32))
+        fh = -(-rows // down)
+        fw = -(-cols // down)
+        ffeat = jnp.zeros((1, fh, fw, feat_ch), jnp.float32)
+        fmask = jnp.zeros((fh, fw), jnp.float32)
+        cm = crop_margin // down
+        border_np = np.zeros((blend_res, blend_res), np.float32)
+        if cm > 0:
+            border_np[cm:-cm, cm:-cm] = 1.0
+        else:
+            border_np[:] = 1.0
+        border = jnp.asarray(border_np)
+        gather_fn, scatter_fn = _window_fns()
 
     waves = {}
     for (y, x, h, w) in crops:
@@ -187,53 +261,40 @@ def stylize_image_batched(engine, geom: np.ndarray, brush_options, *,
         for start in range(0, len(tiles), batch_size):
             chunk = tiles[start:start + batch_size]
             n = len(chunk)
+            # Pad tail chunks to the full batch (repeating the last tile)
+            # so every wave runs the SAME compiled programs -- tail-shaped
+            # chunks would otherwise trigger a fresh XLA compile each.
+            pad = chunk + [chunk[-1]] * (batch_size - n)
             geom_b = np.stack([
-                geom[y:y + h, x:x + w] for (y, x, h, w) in chunk]
+                geom[y:y + h, x:x + w] for (y, x, h, w) in pad]
             )[..., None].astype(np.float32)
             brush_options.set_position(
-                np.asarray([x for (_y, x, _h, _w) in chunk]),
-                np.asarray([y for (y, _x, _h, _w) in chunk]))
-            brush_options.prepare_style(n)
+                np.asarray([x for (_y, x, _h, _w) in pad]),
+                np.asarray([y for (y, _x, _h, _w) in pad]))
+            brush_options.prepare_style(batch_size)
 
             blended = None
             return_features = ()
-            upd_masks = []
             if blending:
-                feats_list, alpha_list = [], []
-                bm = blend_margin // fcanvas.down_factor
-                cm = crop_margin // fcanvas.down_factor
-                for (y, x, h, w) in chunk:
-                    area = fcanvas.down_area(areas.make_area(y, x, h, w))
-                    mask, feats = fcanvas.get_features(area)
-                    alpha = np.zeros((blend_res, blend_res, 1), np.float32)
-                    upd = np.ones((blend_res, blend_res), bool)
-                    if mask is not None and mask.any():
-                        # Blend weight ramps in from stored regions
-                        # (simplified whole-tile variant of the interactive
-                        # path's dirty-area alpha).
-                        a = mask.astype(np.float32)
-                        alpha = a[..., None]
-                        upd = ~mask
-                    if cm > 0:
-                        upd[:cm] = upd[-cm:] = False
-                        upd[:, :cm] = upd[:, -cm:] = False
-                    feats_list.append(feats[0] if feats is not None else
-                                      np.zeros((blend_res, blend_res,
-                                                fcanvas.features.shape[-1]),
-                                               np.float32))
-                    alpha_list.append(alpha)
-                    upd_masks.append(upd)
-                blended = {blend_res: (jnp.asarray(np.stack(feats_list)),
-                                       jnp.asarray(np.stack(alpha_list)))}
+                down = patch_width // blend_res
+                fys = jnp.asarray([y // down for (y, _x, _h, _w) in pad])
+                fxs = jnp.asarray([x // down for (_y, x, _h, _w) in pad])
+                feats_win, alpha, upds = gather_fn(ffeat, fmask, fys, fxs,
+                                                   border)
+                blended = {blend_res: (feats_win, alpha)}
                 return_features = (blend_res,)
 
             out = engine._run_core(geom_b, brush_options,
                                    blended_features=blended,
                                    return_features=return_features)
-            rgba = np.clip(np.asarray(out["rgba"]) * 255, 0, 255
-                           ).astype(np.uint8)
+            # uint8 cast ON DEVICE: 4x less transfer than f32.
+            rgba = np.asarray((jnp.clip(out["rgba"], 0.0, 1.0)
+                               * 255).astype(jnp.uint8))
             if blending:
-                new_feats = np.asarray(out[f"features{blend_res}"])
+                ffeat, fmask = scatter_fn(ffeat, fmask,
+                                          out[f"features{blend_res}"]
+                                          .astype(jnp.float32),
+                                          upds, fys, fxs)
             for i, (y, x, h, w) in enumerate(chunk):
                 img = rgba[i]
                 if crop_margin > 0:
@@ -241,10 +302,6 @@ def stylize_image_batched(engine, geom: np.ndarray, brush_options, *,
                               crop_margin:-crop_margin]
                 canvas[y + crop_margin:y + h - crop_margin,
                        x + crop_margin:x + w - crop_margin] = img
-                if blending:
-                    area = fcanvas.down_area(areas.make_area(y, x, h, w))
-                    fcanvas.set_features(area, new_feats[i:i + 1],
-                                         update_mask=upd_masks[i])
 
     if on_white:
         canvas = composite_on_white(canvas)
