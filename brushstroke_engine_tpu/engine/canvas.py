@@ -242,6 +242,64 @@ class PaintingHelper:
             self.feature_canvas.set_features(gen_sc, np.asarray(feats),
                                              update_mask)
 
+    # ----- partial-patch support -----
+
+    def _sync_geom_canvas(self, dirty_area, geom, h, w):
+        """Keep the persistent geometry canvas in sync with full-patch
+        renders so later partial patches see earlier strokes."""
+        if self.geom_canvas is None or dirty_area is None:
+            return
+        rows, cols = self.geom_canvas.shape
+        da = areas.clip_area(dirty_area, rows, cols)
+        if da.min_width <= 0:
+            return
+        self.geom_canvas[da.rstart:da.rend, da.cstart:da.cend] = \
+            np.asarray(geom).reshape(h, w)[:da.rows, :da.cols]
+
+    def _align_area_down(self, area: Area, d: int, rows: int,
+                         cols: int) -> Area:
+        """Floor starts / ceil ends to multiples of d, clipped to canvas."""
+        r0 = (area.rstart // d) * d
+        c0 = (area.cstart // d) * d
+        r1 = min(-((-area.rend) // d) * d, rows)
+        c1 = min(-((-area.cend) // d) * d, cols)
+        return areas.make_area_direct(r0, c0, r1, c1)
+
+    def _expand_partial_patch(self, dirty_area, geom, h, w):
+        """Write a smaller-than-patch dirty region into the geometry canvas
+        and expand it to a full ``patch_width`` square with surrounding
+        context.  Returns (dirty_area, gen_area, [1,pw,pw,1] geometry)."""
+        pw = self.engine.patch_width
+        if self.geom_canvas is None:
+            raise RuntimeError(
+                "Must call make_new_canvas before rendering partial patches")
+        if dirty_area is None:
+            raise RuntimeError(
+                "Must provide x,y meta for partial geometry input")
+        if w > pw or h > pw:
+            raise RuntimeError(
+                f"Patch {h}x{w} exceeds engine patch width {pw}")
+        rows, cols = self.geom_canvas.shape
+        if rows < pw or cols < pw:
+            raise RuntimeError(
+                f"Canvas {rows}x{cols} smaller than patch width {pw}")
+
+        self._sync_geom_canvas(dirty_area, geom, h, w)
+
+        # Expand the dirty area for blend context, then to a full patch.
+        dirty_area = areas.pad_area_bounded(
+            dirty_area, margin=self.feature_blending_margin, max_dim=pw)
+        dirty_area = areas.clip_area(dirty_area, rows, cols)
+        gen_area = areas.expand_area(dirty_area, pw, rows, cols)
+        if self.feature_canvas is not None:
+            d = self.feature_canvas.down_factor
+            gen_area = areas.make_area((gen_area.rstart // d) * d,
+                                       (gen_area.cstart // d) * d, pw, pw)
+            dirty_area = self._align_area_down(dirty_area, d, rows, cols)
+        geom_full = self.geom_canvas[gen_area.rstart:gen_area.rend,
+                                     gen_area.cstart:gen_area.cend]
+        return dirty_area, gen_area, geom_full[None, :, :, None]
+
     # ----- stroke rendering -----
 
     def render_stroke(self, stroke_patch, canvas_patch, opts, meta=None):
@@ -274,10 +332,18 @@ class PaintingHelper:
                 crop_margin = int(meta.get("crop_margin"))
 
         geom = self.engine.prepare_geom_input(stroke_patch)
-        if w != self.engine.patch_width or h != self.engine.patch_width:
-            raise RuntimeError("Partial-patch rendering not implemented; "
-                               "send full patches")
-        geom = geom.reshape(1, h, w, 1)
+        pw = self.engine.patch_width
+        if w != pw or h != pw:
+            # Partial-patch rendering: write the dirty geometry into the
+            # persistent geometry canvas, expand to a full patch of context,
+            # and render that.  The reference declares this path but raises
+            # before it (forger/ui/brush.py:274); here it is implemented.
+            dirty_area, gen_area, geom = self._expand_partial_patch(
+                dirty_area, geom, h, w)
+            h = w = pw
+        else:
+            self._sync_geom_canvas(dirty_area, geom, h, w)
+            geom = geom.reshape(1, h, w, 1)
 
         generator_kwargs = {}
         blended_resolutions = []

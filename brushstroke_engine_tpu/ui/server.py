@@ -132,8 +132,10 @@ class DrawingWebSocketHandler(tornado.websocket.WebSocketHandler):
             opts.position = None
         opts.enable_uvs_mapping = self.uvs_mapping
 
+        pw = self.helper.engine.patch_width
+        is_full_patch = bg_img.shape[0] == pw and bg_img.shape[1] == pw
         if self.use_device_canvas and self._blend_level > 0 and \
-                self.use_positions:
+                self.use_positions and is_full_patch:
             from brushstroke_engine_tpu.engine.device_canvas import (
                 DevicePaintSession,
             )

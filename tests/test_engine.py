@@ -230,6 +230,59 @@ class TestPaintingHelper:
         diff = np.abs(img1.astype(int) - img2.astype(int)).mean()
         assert diff < 2.0
 
+    def test_partial_patch_render(self):
+        """A smaller-than-patch dirty region renders with surrounding canvas
+        context (beyond the reference, which raises on this path)."""
+        eng = make_engine()
+        pw = eng.patch_width
+        helper = PaintingHelper(eng, style_seed=0)
+        helper.make_new_canvas(128, 128, feature_blending=1)
+        opts = helper.default_brush_options()
+
+        # Full patch first: populates the geometry + feature canvases.
+        patch = stroke_patch_uint8(pw)
+        helper.render_stroke(patch, None, opts, meta={"x": 32, "y": 32})
+        assert helper.geom_canvas[32:32 + pw, 32:32 + pw].min() < 0.5
+
+        # Now a half-size dirty region inside the painted area.
+        half = pw // 2
+        small = np.zeros((half, half, 4), np.uint8)
+        small[..., 3] = 255   # fully opaque: solid foreground
+        img, _, meta = helper.render_stroke(small, None, opts,
+                                            meta={"x": 40, "y": 40})
+        assert img.shape == (pw, pw, 4)
+        # The returned gen area is a full patch containing the dirty region.
+        assert meta["x"] <= 40 and meta["y"] <= 40
+        assert meta["x"] + pw <= 128 and meta["y"] + pw <= 128
+        # The dirty write landed in the geometry canvas (0 = foreground).
+        assert helper.geom_canvas[40:40 + half, 40:40 + half].max() == 0.0
+
+    def test_partial_patch_requires_canvas(self):
+        eng = make_engine()
+        helper = PaintingHelper(eng, style_seed=0)
+        opts = helper.default_brush_options()
+        small = np.zeros((8, 8, 4), np.uint8)
+        with pytest.raises(RuntimeError):
+            helper.render_stroke(small, None, opts, meta={"x": 0, "y": 0})
+        helper.make_new_canvas(64, 64, feature_blending=0)
+        with pytest.raises(RuntimeError):
+            helper.render_stroke(small, None, opts, meta=None)
+
+    def test_partial_patch_no_blending(self):
+        """Partial patches also work with feature blending off."""
+        eng = make_engine()
+        pw = eng.patch_width
+        helper = PaintingHelper(eng, style_seed=0)
+        helper.make_new_canvas(96, 96, feature_blending=0)
+        opts = helper.default_brush_options()
+        small = np.zeros((pw // 2, pw // 2, 4), np.uint8)
+        small[..., 3] = 255
+        img, _, meta = helper.render_stroke(small, None, opts,
+                                            meta={"x": 70, "y": 70})
+        assert img.shape == (pw, pw, 4)
+        # Clamped so the generated patch stays inside the canvas.
+        assert meta["x"] + pw <= 96 and meta["y"] + pw <= 96
+
     def test_crop_margin(self):
         eng = make_engine()
         helper = PaintingHelper(eng, style_seed=0)
