@@ -197,6 +197,196 @@ def _scatter_feature_windows(ffeat, fmask, new_feats, upds, fys, fxs):
     return jax.lax.fori_loop(0, fys.shape[0], body, (ffeat, fmask))
 
 
+def _prepare_wave_chunks(crops, stride: int, batch_size: int):
+    """Group crops into checkerboard waves, chunk each wave to a fixed
+    batch (padding tail chunks with the last tile), and stack the tile
+    origins into [n_chunks, batch] arrays ordered wave-by-wave."""
+    waves = {}
+    for (y, x, h, w) in crops:
+        key = ((y // stride) % 2, (x // stride) % 2)
+        waves.setdefault(key, []).append((y, x))
+    ys, xs = [], []
+    for key in sorted(waves):
+        tiles = waves[key]
+        for start in range(0, len(tiles), batch_size):
+            chunk = tiles[start:start + batch_size]
+            pad = chunk + [chunk[-1]] * (batch_size - len(chunk))
+            ys.append([y for (y, _x) in pad])
+            xs.append([x for (_y, x) in pad])
+    return np.asarray(ys, np.int32), np.asarray(xs, np.int32)
+
+
+def _stylize_waves_impl(gen_cfg, enc_cfg, enc_res, render_mode, color_format,
+                        blend_res, crop_margin, patch_width,
+                        bundle_params, geom_canvas, ys, xs,
+                        z, ws, noise_buffers, color_override, color_mask,
+                        sfactor, border):
+    """Whole-canvas stylization as one device program: a lax.scan over
+    checkerboard-wave chunks.  See stylize_image_ondevice."""
+    import jax
+    import jax.numpy as jnp
+    from brushstroke_engine_tpu.engine.render import render_core
+
+    gen_params, gen_state, enc_params, enc_state = bundle_params
+    rows, cols = geom_canvas.shape
+    pw = patch_width
+    cm = crop_margin
+    blending = blend_res is not None
+    if geom_canvas.dtype == jnp.uint8:
+        # Host shipped the (binary) geometry as uint8 to quarter the
+        # transfer; decode once in HBM.
+        geom_canvas = geom_canvas.astype(jnp.float32) / 255.0
+
+    canvas0 = jnp.zeros((rows, cols, 4), jnp.uint8)
+    if blending:
+        down = pw // blend_res
+        feat_ch = gen_cfg.synthesis.channels(blend_res)
+        ffeat0 = jnp.zeros((1, -(-rows // down), -(-cols // down), feat_ch),
+                           jnp.float32)
+        fmask0 = jnp.zeros(ffeat0.shape[1:3], jnp.float32)
+    else:
+        ffeat0 = jnp.zeros((), jnp.float32)
+        fmask0 = jnp.zeros((), jnp.float32)
+
+    def chunk_body(carry, inp):
+        canvas, ffeat, fmask = carry
+        cys, cxs = inp
+        geoms = jax.vmap(lambda y, x: jax.lax.dynamic_slice(
+            geom_canvas, (y, x), (pw, pw)))(cys, cxs)[..., None]
+        blended = None
+        rf = ()
+        if blending:
+            fys = cys // down
+            fxs = cxs // down
+            feats_win, alpha, upds = _gather_feature_windows(
+                ffeat, fmask, fys, fxs, border)
+            blended = {blend_res: (feats_win, alpha)}
+            rf = (blend_res,)
+        out = render_core.__wrapped__(
+            gen_cfg, enc_cfg, enc_res, render_mode, rf, color_format,
+            gen_params, gen_state, enc_params, enc_state,
+            geoms, z, ws, jnp.stack([cys, cxs], axis=1), noise_buffers,
+            color_override, color_mask, blended, sfactor)
+        if blending:
+            ffeat, fmask = _scatter_feature_windows(
+                ffeat, fmask,
+                out[f"features{blend_res}"].astype(jnp.float32),
+                upds, fys, fxs)
+        rgba = (jnp.clip(out["rgba"], 0.0, 1.0) * 255).astype(jnp.uint8)
+
+        def wbody(i, cv):
+            img = rgba[i]
+            if cm > 0:
+                img = img[cm:pw - cm, cm:pw - cm]
+            return jax.lax.dynamic_update_slice(
+                cv, img, (cys[i] + cm, cxs[i] + cm, 0))
+
+        canvas = jax.lax.fori_loop(0, cys.shape[0], wbody, canvas)
+        return (canvas, ffeat, fmask), None
+
+    (canvas, _, _), _ = jax.lax.scan(chunk_body, (canvas0, ffeat0, fmask0),
+                                     (ys, xs))
+    return canvas
+
+
+_STYLIZE_WAVES = None
+
+
+def _stylize_waves():
+    global _STYLIZE_WAVES
+    if _STYLIZE_WAVES is None:
+        import jax
+        from functools import partial
+        _STYLIZE_WAVES = partial(jax.jit, static_argnames=(
+            "gen_cfg", "enc_cfg", "enc_res", "render_mode", "color_format",
+            "blend_res", "crop_margin", "patch_width"))(_stylize_waves_impl)
+    return _STYLIZE_WAVES
+
+
+def stylize_image_ondevice(engine, geom: np.ndarray, brush_options, *,
+                           overlap_margin: int = 10, crop_margin: int = 10,
+                           feature_blending_level: int = 2,
+                           batch_size: int = 32,
+                           on_white: bool = False,
+                           mode: str = "all") -> np.ndarray:
+    """Whole-canvas stylization in ONE device dispatch.
+
+    Same wave decomposition as :func:`stylize_image_batched`, but the chunk
+    loop runs as a ``lax.scan`` inside a single jitted program: the geometry
+    ships to HBM once, the feature canvas and the RGBA canvas live on-device,
+    and the only host traffic is geometry in / uint8 canvas out.  On a
+    dispatch-latency-bound link (or at production request rates) this
+    replaces ~4 x ceil(tiles/batch) dispatches with one.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    patch_width = engine.patch_width
+    stride = patch_width - 2 * overlap_margin
+    assert stride * 2 >= patch_width, \
+        "checkerboard waves need overlap_margin <= patch_width/4"
+    geom, _ = pad_geometry(geom, patch_width, overlap_margin)
+    rows, cols = geom.shape
+    crops = generate_stitching_crops((rows, cols), patch_width,
+                                     overlap_margin, geom=geom, mode=mode)
+    if not crops:
+        canvas = np.zeros((rows, cols, 4), np.uint8)
+        return composite_on_white(canvas) if on_white else canvas
+    ys, xs = _prepare_wave_chunks(crops, stride, batch_size)
+
+    brush_options.prepare_style(batch_size)
+    override, cmask = brush_options.color_override(batch_size)
+    sfactor = None
+    if brush_options.enable_uvs_mapping:
+        sfactor = engine.uvs_mapper.get_sfactor(brush_options)
+    noise_buffers = brush_options.custom_args.get("noise_buffers") or None
+    if noise_buffers is not None:
+        noise_buffers = {k: jnp.asarray(np.asarray(v).reshape(
+            np.asarray(v).shape[-2:])) for k, v in noise_buffers.items()}
+
+    blend_res = None
+    border = None
+    if feature_blending_level > 0:
+        down = 2 ** (feature_blending_level - 1)
+        blend_res = patch_width // down
+        cm = crop_margin // down
+        border_np = np.zeros((blend_res, blend_res), np.float32)
+        if cm > 0:
+            border_np[cm:-cm, cm:-cm] = 1.0
+        else:
+            border_np[:] = 1.0
+        border = jnp.asarray(border_np)
+
+    z = brush_options.style_z
+    ws = brush_options.style_ws
+    # Binary geometry (the standard binarized path) ships as uint8: 4x less
+    # host->device traffic, exactly recovered on-device.
+    geom32 = np.asarray(geom, np.float32)
+    g255 = geom32 * 255.0
+    if np.array_equal(g255, np.round(g255)):
+        geom_dev = jnp.asarray(g255.astype(np.uint8))
+    else:
+        geom_dev = jnp.asarray(geom32)
+    canvas = _stylize_waves()(
+        engine.gen_cfg, engine.enc_cfg, tuple(engine.enc_res),
+        engine.render_mode, engine.color_format, blend_res, crop_margin,
+        patch_width,
+        (engine.gen_params, engine.gen_state,
+         engine.enc_params, engine.enc_state),
+        geom_dev,
+        jnp.asarray(ys), jnp.asarray(xs),
+        None if z is None else jnp.asarray(z, jnp.float32),
+        None if ws is None else jnp.asarray(ws, jnp.float32),
+        noise_buffers,
+        None if override is None else jnp.asarray(override),
+        None if cmask is None else jnp.asarray(cmask),
+        sfactor, border)
+    canvas = np.asarray(canvas)
+    if on_white:
+        canvas = composite_on_white(canvas)
+    return canvas
+
+
 def stylize_image_batched(engine, geom: np.ndarray, brush_options, *,
                           overlap_margin: int = 10, crop_margin: int = 10,
                           feature_blending_level: int = 2,

@@ -21,7 +21,11 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--canvas", type=int, default=2000)
     ap.add_argument("--resolution", type=int, default=256)
-    ap.add_argument("--batch_size", type=int, default=16)
+    ap.add_argument("--batch_size", type=int, default=32)
+    ap.add_argument("--impl", choices=["ondevice", "host"],
+                    default="ondevice",
+                    help="ondevice = whole replay as ONE jitted scan; "
+                         "host = host-side wave loop")
     ap.add_argument("--feature_blending_level", type=int, default=2)
     ap.add_argument("--gan_checkpoint", default=None,
                     help="Native bundle; random flagship weights if omitted.")
@@ -32,7 +36,9 @@ def main():
     from brushstroke_engine_tpu.engine.brush import (
         PaintEngineFactory, TriadGanPaintEngine, GanBrushOptions,
     )
-    from brushstroke_engine_tpu.engine.stylize import stylize_image_batched
+    from brushstroke_engine_tpu.engine.stylize import (
+        stylize_image_batched, stylize_image_ondevice,
+    )
     from brushstroke_engine_tpu.data.curves import random_spline_stroke
 
     set_precision_mode("fast")
@@ -61,24 +67,34 @@ def main():
     opts.set_style(engine.random_style(594), 594)
     opts.set_color(0, np.asarray([40, 60, 160], np.uint8))  # color control
 
-    # Warmup (compile both wave batch shapes).
-    _ = stylize_image_batched(
-        engine, geom[:args.resolution * 2, :args.resolution * 2], opts,
+    render = stylize_image_ondevice if args.impl == "ondevice" \
+        else stylize_image_batched
+    # Warmup (compile the wave batch shapes; the ondevice impl compiles
+    # per canvas shape, so warm up at the REAL canvas size).
+    warm_geom = geom if args.impl == "ondevice" \
+        else geom[:args.resolution * 2, :args.resolution * 2]
+    _ = render(
+        engine, warm_geom, opts,
         feature_blending_level=args.feature_blending_level,
         batch_size=args.batch_size)
 
-    t0 = time.perf_counter()
-    out = stylize_image_batched(
-        engine, geom, opts,
-        feature_blending_level=args.feature_blending_level,
-        batch_size=args.batch_size, on_white=True)
-    dt = time.perf_counter() - t0
+    # Best-of-3: the dev chip is shared and the tunnel jittery; load
+    # only ever slows a rep down (same doctrine as bench.py).
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = render(
+            engine, geom, opts,
+            feature_blending_level=args.feature_blending_level,
+            batch_size=args.batch_size, on_white=True)
+        dt = min(dt, time.perf_counter() - t0)
 
     mpix = out.shape[0] * out.shape[1] / 1e6
     stride = args.resolution - 20
     n_tiles = (args.canvas // stride + 1) ** 2
     print(json.dumps({
-        "metric": f"{args.canvas}x{args.canvas} canvas replay",
+        "metric": f"{args.canvas}x{args.canvas} canvas replay "
+                  f"({args.impl})",
         "seconds": round(dt, 2),
         "canvas_megapixels_per_sec": round(mpix / dt, 2),
         "approx_patches_per_sec": round(n_tiles / dt, 1),

@@ -6,7 +6,7 @@ import pytest
 from brushstroke_engine_tpu.engine.brush import GanBrushOptions
 from brushstroke_engine_tpu.engine.canvas import PaintingHelper
 from brushstroke_engine_tpu.engine.stylize import (
-    stylize_image, stylize_image_batched,
+    stylize_image, stylize_image_batched, stylize_image_ondevice,
 )
 from brushstroke_engine_tpu.data.curves import random_spline_stroke
 from tests.helpers import make_engine
@@ -79,3 +79,54 @@ class TestBatchedStylize:
                                     crop_margin=4,
                                     feature_blending_level=0, batch_size=4)
         assert not np.array_equal(base, red)
+
+
+class TestOndeviceStylize:
+    """The single-dispatch scan renderer must agree with the host-loop wave
+    renderer (same wave decomposition, same math, different orchestration)."""
+
+    @pytest.mark.parametrize("level", [0, 1])
+    def test_matches_host_waves(self, level):
+        eng = make_engine()
+        geom = make_geom(seed=5)
+
+        opts1 = GanBrushOptions()
+        opts1.set_style(eng.random_style(7), 7)
+        host = stylize_image_batched(eng, geom, opts1, overlap_margin=4,
+                                     crop_margin=4,
+                                     feature_blending_level=level,
+                                     batch_size=4)
+        opts2 = GanBrushOptions()
+        opts2.set_style(eng.random_style(7), 7)
+        dev = stylize_image_ondevice(eng, geom, opts2, overlap_margin=4,
+                                     crop_margin=4,
+                                     feature_blending_level=level,
+                                     batch_size=4)
+        assert host.shape == dev.shape
+        diff = np.abs(host.astype(int) - dev.astype(int))
+        assert np.median(diff) <= 1
+        assert (diff <= 2).mean() > 0.95
+
+    def test_color_override_and_nonempty_mode(self):
+        eng = make_engine()
+        eng.set_render_mode("full")
+        geom = make_geom(seed=6)
+        opts = GanBrushOptions()
+        opts.set_style(eng.random_style(8), 8)
+        opts.set_color(0, np.asarray([0, 255, 0], np.uint8))
+        out = stylize_image_ondevice(eng, geom, opts, overlap_margin=4,
+                                     crop_margin=4,
+                                     feature_blending_level=1,
+                                     batch_size=4, mode="nonempty")
+        assert out.dtype == np.uint8 and out[..., 3].max() > 0
+
+    def test_empty_geometry(self):
+        eng = make_engine()
+        opts = GanBrushOptions()
+        opts.set_style(eng.random_style(9), 9)
+        geom = np.ones((64, 64), np.float32)   # all background
+        out = stylize_image_ondevice(eng, geom, opts, overlap_margin=4,
+                                     crop_margin=4,
+                                     feature_blending_level=1,
+                                     batch_size=4, mode="nonempty")
+        assert out[..., 3].max() == 0
