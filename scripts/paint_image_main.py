@@ -52,6 +52,13 @@ def main():
     ap.add_argument("--crop_margin", type=int, default=10)
     ap.add_argument("--overlap_margin", type=int, default=10)
     ap.add_argument("--render_mode", default="clear")
+    ap.add_argument("--renderer",
+                    choices=["ondevice", "batched", "sequential"],
+                    default="ondevice",
+                    help="ondevice = whole canvas as ONE jitted scan "
+                         "(fastest); batched = host-side checkerboard "
+                         "waves; sequential = reference-style per-tile "
+                         "loop.")
     ap.add_argument("--on_white", action="store_true")
     ap.add_argument("--no_binarize", action="store_true")
     ap.add_argument("--log_level", type=int, default=logging.INFO)
@@ -65,7 +72,8 @@ def main():
     from brushstroke_engine_tpu.engine.canvas import PaintingHelper
     from brushstroke_engine_tpu.engine.library import BrushLibrary
     from brushstroke_engine_tpu.engine.stylize import (
-        read_geometry_image, stylize_image,
+        read_geometry_image, stylize_image, stylize_image_batched,
+        stylize_image_ondevice,
     )
 
     engine = PaintEngineFactory.create(
@@ -91,12 +99,17 @@ def main():
     img = np.asarray(PIL.Image.open(args.geo_image))
     geom = read_geometry_image(img, binarize=not args.no_binarize)
 
-    canvas = stylize_image(
-        helper, geom, opts,
-        overlap_margin=args.overlap_margin,
-        crop_margin=args.crop_margin,
-        feature_blending_level=args.feature_blending_level,
-        on_white=args.on_white)
+    kw = dict(overlap_margin=args.overlap_margin,
+              crop_margin=args.crop_margin,
+              feature_blending_level=args.feature_blending_level,
+              on_white=args.on_white)
+    has_jax_core = hasattr(engine, "_render_stroke_jax")
+    if args.renderer == "sequential" or not has_jax_core:
+        canvas = stylize_image(helper, geom, opts, **kw)
+    elif args.renderer == "batched":
+        canvas = stylize_image_batched(engine, geom, opts, **kw)
+    else:
+        canvas = stylize_image_ondevice(engine, geom, opts, **kw)
 
     os.makedirs(args.output_dir, exist_ok=True)
     base = os.path.splitext(os.path.basename(args.geo_image))[0]
