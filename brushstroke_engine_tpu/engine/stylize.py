@@ -308,7 +308,8 @@ def stylize_image_ondevice(engine, geom: np.ndarray, brush_options, *,
                            feature_blending_level: int = 2,
                            batch_size: int = 32,
                            on_white: bool = False,
-                           mode: str = "all") -> np.ndarray:
+                           mode: str = "all",
+                           mesh=None) -> np.ndarray:
     """Whole-canvas stylization in ONE device dispatch.
 
     Same wave decomposition as :func:`stylize_image_batched`, but the chunk
@@ -317,6 +318,13 @@ def stylize_image_ondevice(engine, geom: np.ndarray, brush_options, *,
     and the only host traffic is geometry in / uint8 canvas out.  On a
     dispatch-latency-bound link (or at production request rates) this
     replaces ~4 x ceil(tiles/batch) dispatches with one.
+
+    With ``mesh`` (a 1-axis ``jax.sharding.Mesh``), each wave's tile batch
+    shards over the mesh devices — the SP/spatial-parallel canvas render of
+    SURVEY.md section 2.12: tile gather + encode + synthesis run
+    data-parallel, and XLA inserts the all-gather where the (sequential,
+    replicated) feature/canvas write-back needs the full wave.
+    ``batch_size`` must divide evenly by the mesh size.
     """
     import jax
     import jax.numpy as jnp
@@ -367,20 +375,40 @@ def stylize_image_ondevice(engine, geom: np.ndarray, brush_options, *,
         geom_dev = jnp.asarray(g255.astype(np.uint8))
     else:
         geom_dev = jnp.asarray(geom32)
+
+    ys = jnp.asarray(ys)
+    xs = jnp.asarray(xs)
+    z = None if z is None else jnp.asarray(z, jnp.float32)
+    ws = None if ws is None else jnp.asarray(ws, jnp.float32)
+    override = None if override is None else jnp.asarray(override)
+    cmask = None if cmask is None else jnp.asarray(cmask)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        axis = mesh.axis_names[0]
+        n = mesh.shape[axis]
+        if batch_size % n:
+            raise ValueError(f"batch_size {batch_size} must divide by the "
+                             f"mesh size {n}")
+        shard = lambda a, spec: jax.device_put(a, NamedSharding(mesh, spec))
+        ys = shard(ys, P(None, axis))
+        xs = shard(xs, P(None, axis))
+        if z is not None:
+            z = shard(z, P(axis))
+        if ws is not None:
+            ws = shard(ws, P(axis))
+        if override is not None:
+            override = shard(override, P(axis))
+        geom_dev = shard(geom_dev, P())
+        if border is not None:
+            border = shard(border, P())
     canvas = _stylize_waves()(
         engine.gen_cfg, engine.enc_cfg, tuple(engine.enc_res),
         engine.render_mode, engine.color_format, blend_res, crop_margin,
         patch_width,
         (engine.gen_params, engine.gen_state,
          engine.enc_params, engine.enc_state),
-        geom_dev,
-        jnp.asarray(ys), jnp.asarray(xs),
-        None if z is None else jnp.asarray(z, jnp.float32),
-        None if ws is None else jnp.asarray(ws, jnp.float32),
-        noise_buffers,
-        None if override is None else jnp.asarray(override),
-        None if cmask is None else jnp.asarray(cmask),
-        sfactor, border)
+        geom_dev, ys, xs, z, ws, noise_buffers,
+        override, cmask, sfactor, border)
     canvas = np.asarray(canvas)
     if on_white:
         canvas = composite_on_white(canvas)

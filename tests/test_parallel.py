@@ -172,3 +172,50 @@ def test_training_loop_data_parallel(tmp_path):
     assert np.all(np.isfinite(np.asarray(leaf)))
     snaps = [f for f in os.listdir(tmp_path) if f.startswith("network")]
     assert len(snaps) >= 1
+
+
+def test_sharded_canvas_stylize_matches_single_device():
+    """The mesh-sharded on-device canvas replay (tile batches data-parallel
+    over 8 chips) must agree with the unsharded single-device render."""
+    from tests.helpers import make_engine
+    from brushstroke_engine_tpu.engine.brush import GanBrushOptions
+    from brushstroke_engine_tpu.engine.stylize import stylize_image_ondevice
+    from brushstroke_engine_tpu.data.curves import random_spline_stroke
+
+    eng = make_engine()
+    rng = np.random.default_rng(11)
+    geom = random_spline_stroke(rng, 96, radius=4.0)
+
+    opts1 = GanBrushOptions()
+    opts1.set_style(eng.random_style(5), 5)
+    single = stylize_image_ondevice(eng, geom, opts1, overlap_margin=4,
+                                    crop_margin=4,
+                                    feature_blending_level=1, batch_size=8)
+
+    mesh = make_mesh()
+    opts2 = GanBrushOptions()
+    opts2.set_style(eng.random_style(5), 5)
+    sharded = stylize_image_ondevice(eng, geom, opts2, overlap_margin=4,
+                                     crop_margin=4,
+                                     feature_blending_level=1, batch_size=8,
+                                     mesh=mesh)
+    assert single.shape == sharded.shape
+    diff = np.abs(single.astype(int) - sharded.astype(int))
+    assert np.median(diff) <= 1
+    assert (diff <= 2).mean() > 0.99
+
+
+def test_sharded_canvas_stylize_rejects_bad_batch():
+    from tests.helpers import make_engine
+    from brushstroke_engine_tpu.engine.brush import GanBrushOptions
+    from brushstroke_engine_tpu.engine.stylize import stylize_image_ondevice
+    import pytest
+
+    eng = make_engine()
+    opts = GanBrushOptions()
+    opts.set_style(eng.random_style(5), 5)
+    geom = np.zeros((96, 96), np.float32)
+    with pytest.raises(ValueError):
+        stylize_image_ondevice(eng, geom, opts, overlap_margin=4,
+                               feature_blending_level=1, batch_size=6,
+                               mesh=make_mesh())
