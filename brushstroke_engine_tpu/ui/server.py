@@ -281,7 +281,40 @@ def create_server(encoder_checkpoint, gan_checkpoint, debug_dir=None,
          dict(engine=engine, libraries=libraries,
               library_specs=library_specs)),
     ])
+    app.paint_engine = engine
     return app
+
+
+def warmup_engine(engine, blend_levels=(0, 2)):
+    """Pre-compile the render programs the first strokes will hit, so the
+    first user stroke doesn't pay the XLA compile (~seconds)."""
+    if not hasattr(engine, "_render_stroke_jax"):
+        return
+    import time
+
+    from brushstroke_engine_tpu.engine.canvas import PaintingHelper
+
+    t0 = time.time()
+    patch = PaintingHelper.test_stroke(engine.patch_width)
+    for lvl in blend_levels:
+        helper = PaintingHelper(engine, style_seed=0)
+        helper.make_new_canvas(engine.patch_width * 2,
+                               engine.patch_width * 2,
+                               feature_blending=lvl)
+        opts = helper.default_brush_options()
+        opts.set_position(0, 0)
+        # Twice: the first render compiles the fresh-canvas program, the
+        # second the stored-features blending variant.
+        helper.render_stroke(patch, None, opts, meta={"x": 0, "y": 0})
+        helper.render_stroke(patch, None, opts, meta={"x": 0, "y": 0})
+    # The brush-info color swatch (sent at every client connect) renders
+    # through its own positions-less variant; warm it too.
+    mapper = getattr(engine, "uvs_mapper", None)
+    if mapper is not None:
+        mapper.get_colors(PaintingHelper(engine, style_seed=0)
+                          .default_brush_options())
+    logger.info(f"Warmed render programs (blend levels {blend_levels}) "
+                f"in {time.time() - t0:.1f}s")
 
 
 def parse_libraries(libraries_arg):
@@ -316,6 +349,9 @@ def run_main(argv=None):
                          "device (one dispatch per stroke, ~2.5 ms at "
                          "256px); requires positional noise enabled in "
                          "the client.")
+    ap.add_argument("--no_warmup", action="store_true",
+                    help="Skip pre-compiling the render programs at "
+                         "startup (first stroke then pays the compile).")
     ap.add_argument("--log_level", type=int, default=logging.INFO)
     args = ap.parse_args(argv)
     logging.basicConfig(level=args.log_level)
@@ -328,6 +364,8 @@ def run_main(argv=None):
         enable_z_saving=not args.disable_z_saving,
         library_specs=parse_libraries(args.libraries),
         use_device_canvas=args.device_canvas)
+    if not args.no_warmup:
+        warmup_engine(server.paint_engine)
     server.listen(args.port)
     logger.info(f"Serving on http://localhost:{args.port}")
     tornado.ioloop.IOLoop.instance().start()

@@ -30,6 +30,14 @@
 
   ws.onopen = function () {
     status.textContent = "connected";
+    // Sync the initial control state: the server's defaults are not
+    // guaranteed to match the checkboxes' initial values.
+    sendJSON({ type: "set_option", option: "positions",
+               value: document.getElementById("usePositions").checked });
+    sendJSON({ type: "set_option", option: "uvs_mapping",
+               value: document.getElementById("uvsMapping").checked });
+    sendJSON({ type: "set_render_mode",
+               mode: document.getElementById("renderMode").value });
     sendNewCanvas();
   };
   ws.onclose = function () { status.textContent = "disconnected"; };
