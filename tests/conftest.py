@@ -15,3 +15,20 @@ import jax  # noqa: E402  (import after env setup)
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Release compiled executables between test modules.
+
+    Two full-suite runs segfaulted inside XLA-CPU's backend_compile (LLVM)
+    while compiling the train-loop programs near the end of the suite --
+    hundreds of live compiled executables by that point -- yet the same
+    module passes in a fresh process.  Bounding the number of live
+    executables avoids the crashy regime at a small recompilation cost.
+    """
+    yield
+    jax.clear_caches()
