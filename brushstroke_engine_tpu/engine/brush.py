@@ -223,6 +223,70 @@ class GanPaintEngine(PaintEngine):
             None if sfactor is None else jnp.asarray(sfactor, jnp.float32))
         return out
 
+    def render_batch(self, geoms, opts_list, blended_features=None,
+                     return_features=()):
+        """Render B independent single-patch requests as ONE device call
+        (cross-session micro-batching for the serving path; beyond the
+        reference, whose engine renders one request at a time).
+
+        Args:
+          geoms: ``[B, W, W, 1]`` float geometry rows.
+          opts_list: B GanBrushOptions; all rows must share style kind
+            (all-z or all-ws), position presence, and must not use stored
+            noise buffers or UVS mapping (the server groups accordingly).
+          blended_features: {res: (feats [B,R,R,C], alpha [B,R,R,1])} or
+            None; rows without stored features use alpha=0.
+
+        Returns the raw render-core output dict ('rgba' [B,W,W,4], ...).
+        """
+        b = geoms.shape[0]
+        use_ws = opts_list[0].style_ws is not None
+        z = ws = None
+        rows = []
+        for o in opts_list:
+            o.prepare_style(1)
+            assert (o.style_ws is not None) == use_ws, \
+                "mixed z/ws rows in a render batch"
+            assert not o.custom_args.get("noise_buffers"), \
+                "stored-noise brushes cannot batch"
+            assert not o.enable_uvs_mapping, "uvs-mapped rows cannot batch"
+            rows.append(o.style_ws[0] if use_ws else o.style_z[0])
+        style = np.stack(rows).astype(np.float32)
+        if use_ws:
+            ws = style
+        else:
+            z = style
+
+        has_pos = opts_list[0].get_position() is not None
+        positions = None
+        if has_pos:
+            positions = np.concatenate(
+                [np.asarray(o.get_position())[:1] for o in opts_list])
+
+        override = np.zeros((b, 3, 3), np.float32)
+        mask = np.zeros((b, 1, 3), np.float32)
+        any_color = False
+        for i, o in enumerate(opts_list):
+            ov, mk = o.color_override(1)
+            if ov is not None:
+                override[i] = ov[0]
+                mask[i, 0] = mk[0, 0]
+                any_color = True
+
+        out = render_core(
+            self.gen_cfg, self.enc_cfg, self.enc_res, self.render_mode,
+            tuple(return_features), self.color_format,
+            self.gen_params, self.gen_state, self.enc_params, self.enc_state,
+            jnp.asarray(geoms),
+            None if z is None else jnp.asarray(z),
+            None if ws is None else jnp.asarray(ws),
+            None if positions is None else jnp.asarray(positions),
+            None,
+            jnp.asarray(override) if any_color else None,
+            jnp.asarray(mask) if any_color else None,
+            blended_features, None)
+        return out
+
     def _render_stroke_jax(self, geom, canvas, opts, **generator_kwargs):
         """Device-side render; returns (rgba [B,W,W,4] float, raw_out dict,
         debug_img or None).  Equivalent of reference _render_stroke_torch."""

@@ -302,19 +302,10 @@ class PaintingHelper:
 
     # ----- stroke rendering -----
 
-    def render_stroke(self, stroke_patch, canvas_patch, opts, meta=None):
-        if not hasattr(self.engine, "_render_stroke_jax"):
-            # Mock/simple engines implement render_stroke directly.
-            if canvas_patch is None:
-                canvas_patch = np.zeros(stroke_patch.shape, np.uint8)
-            img, debug, _ = self.engine.render_stroke(stroke_patch,
-                                                      canvas_patch, opts)
-            out_meta = {"x": 0, "y": 0}
-            if meta is not None:
-                out_meta = {"x": int(meta.get("x", 0)),
-                            "y": int(meta.get("y", 0))}
-            return img, debug, out_meta
-
+    def prepare_render(self, stroke_patch, meta=None):
+        """Everything before the device call: geometry prep, area
+        bookkeeping, blended-feature gather.  Returns a dict consumed by
+        :meth:`finish_render` (and by the server's cross-session batcher)."""
         h, w, _ = stroke_patch.shape
         dirty_area = None
         gen_area = areas.make_area(0, 0, h, w)
@@ -355,17 +346,45 @@ class PaintingHelper:
             generator_kwargs["blended_features"] = blended_features
             generator_kwargs["return_features"] = tuple(blended_resolutions)
 
-        rgba, raw_out, debug_img = self.engine._render_stroke_jax(
-            geom, canvas_patch, opts, **generator_kwargs)
+        return {
+            "geom": geom,
+            "gen_area": gen_area,
+            "crop_margin": crop_margin,
+            "generator_kwargs": generator_kwargs,
+            "blended_resolutions": blended_resolutions,
+            "feature_update_mask": feature_update_mask,
+        }
 
-        self.update_blended_features(blended_resolutions, raw_out, gen_area,
-                                     feature_update_mask)
-
+    def finish_render(self, prep, rgba_row, raw_out):
+        """Write back features, crop, build the response image + meta."""
+        gen_area = prep["gen_area"]
+        crop_margin = prep["crop_margin"]
+        self.update_blended_features(prep["blended_resolutions"], raw_out,
+                                     gen_area, prep["feature_update_mask"])
         gen_area = areas.offset_area(gen_area, crop_margin)
-        img = np.asarray(rgba[0])
+        img = np.asarray(rgba_row)
         if crop_margin > 0:
             img = img[crop_margin:-crop_margin, crop_margin:-crop_margin]
         out_meta = {"x": gen_area.cstart, "y": gen_area.rstart}
         img = np.clip(img * 255.0, 0, 255).astype(np.uint8)
         self.render_id += 1
-        return np.ascontiguousarray(img), debug_img, out_meta
+        return np.ascontiguousarray(img), out_meta
+
+    def render_stroke(self, stroke_patch, canvas_patch, opts, meta=None):
+        if not hasattr(self.engine, "_render_stroke_jax"):
+            # Mock/simple engines implement render_stroke directly.
+            if canvas_patch is None:
+                canvas_patch = np.zeros(stroke_patch.shape, np.uint8)
+            img, debug, _ = self.engine.render_stroke(stroke_patch,
+                                                      canvas_patch, opts)
+            out_meta = {"x": 0, "y": 0}
+            if meta is not None:
+                out_meta = {"x": int(meta.get("x", 0)),
+                            "y": int(meta.get("y", 0))}
+            return img, debug, out_meta
+
+        prep = self.prepare_render(stroke_patch, meta)
+        rgba, raw_out, debug_img = self.engine._render_stroke_jax(
+            prep["geom"], canvas_patch, opts, **prep["generator_kwargs"])
+        img, out_meta = self.finish_render(prep, rgba[0], raw_out)
+        return img, debug_img, out_meta

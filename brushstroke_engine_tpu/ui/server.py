@@ -50,13 +50,14 @@ class DrawingWebSocketHandler(tornado.websocket.WebSocketHandler):
 
     def initialize(self, paint_engine, style_seed, debug_dir,
                    saved_zs_filename=None, libraries=None,
-                   use_device_canvas=False):
+                   use_device_canvas=False, batcher=None):
         self.helper = PaintingHelper(paint_engine, style_seed=style_seed,
                                      debug_dir=debug_dir)
         self.zs_file = saved_zs_filename
         self.libraries = libraries or {}
         self.use_positions = False
         self.uvs_mapping = False
+        self.batcher = batcher
         # Device-resident feature canvas (engine/device_canvas.py): the
         # whole per-stroke step is one donated-state device dispatch
         # (~2.5 ms at 256px) instead of host feature traffic.  Requires a
@@ -152,6 +153,21 @@ class DrawingWebSocketHandler(tornado.websocket.WebSocketHandler):
                 self.write_message(head + protocol.image_patch_to_binary(
                     res_img, meta_out["x"], meta_out["y"]), binary=True)
                 return
+
+        if self.batcher is not None and is_full_patch \
+                and not meta["debug"] and not self.uvs_mapping \
+                and hasattr(self.helper.engine, "_render_stroke_jax") \
+                and not opts.custom_args.get("noise_buffers"):
+            extra = meta["extra_data"] or 0
+
+            def respond(img, meta_out, _extra=extra):
+                self.write_message(
+                    protocol.int32_to_binary(_extra)
+                    + protocol.image_patch_to_binary(
+                        img, meta_out["x"], meta_out["y"]), binary=True)
+
+            self.batcher.submit(self.helper, opts, bg_img, meta, respond)
+            return
 
         res_img, debug_img, meta_out = self.helper.render_stroke(
             bg_img, fg_img, opts, meta)
@@ -249,7 +265,8 @@ class BrushIconHandler(tornado.web.RequestHandler):
 
 def create_server(encoder_checkpoint, gan_checkpoint, debug_dir=None,
                   style_seed=None, enable_z_saving=False,
-                  library_specs=None, use_device_canvas=False):
+                  library_specs=None, use_device_canvas=False,
+                  batch_window_ms: float = 0.0):
     engine = PaintEngineFactory.create(gan_checkpoint,
                                        encoder_checkpoint=encoder_checkpoint)
     z_file = generate_z_file(gan_checkpoint)
@@ -266,13 +283,18 @@ def create_server(encoder_checkpoint, gan_checkpoint, debug_dir=None,
             lib.enable_dynamic_icons(mapper)
         libraries[spec_name] = lib
 
+    batcher = None
+    if batch_window_ms > 0 and hasattr(engine, "_render_stroke_jax"):
+        batcher = RenderBatcher(engine, batch_window_ms)
+
     app = tornado.web.Application([
         (r"/websocket/", DrawingWebSocketHandler,
          dict(paint_engine=engine, style_seed=style_seed,
               debug_dir=debug_dir,
               saved_zs_filename=(z_file if enable_z_saving else None),
               libraries=libraries,
-              use_device_canvas=use_device_canvas)),
+              use_device_canvas=use_device_canvas,
+              batcher=batcher)),
         (r"/brush/([^/]+)/([^/]+)\.jpg", BrushIconHandler,
          dict(libraries=libraries)),
         (r"/static/(.*)", tornado.web.StaticFileHandler,
@@ -283,6 +305,103 @@ def create_server(encoder_checkpoint, gan_checkpoint, debug_dir=None,
     ])
     app.paint_engine = engine
     return app
+
+
+class RenderBatcher:
+    """Cross-session micro-batching: coalesce render requests from all
+    connected drawing sessions into ONE device dispatch per flush window.
+
+    Production-serving feature beyond the reference (whose engine renders
+    one request at a time): with N concurrent painters, batched synthesis
+    amortizes dispatch latency and fills the chip (throughput scales with
+    batch until saturation -- see docs/ARCHITECTURE.md).  Requests that
+    cannot batch (debug sheets, stored-noise brushes, UVS-mapped styles,
+    partial patches) keep the per-request path.
+    """
+
+    BUCKETS = (1, 2, 4, 8, 16, 32)
+
+    def __init__(self, engine, window_ms: float):
+        self.engine = engine
+        self.window_ms = window_ms
+        self.items = []
+        self._cb = None
+
+    def start(self):
+        import tornado.ioloop
+        if self._cb is None:
+            self._cb = tornado.ioloop.PeriodicCallback(self.flush,
+                                                       self.window_ms)
+            self._cb.start()
+
+    def submit(self, helper, opts, stroke_patch, meta, respond):
+        """Queue one request; ``respond(img, out_meta)`` is called from the
+        flush with the rendered uint8 patch."""
+        prep = helper.prepare_render(stroke_patch, meta)
+        self.items.append({"helper": helper, "opts": opts, "prep": prep,
+                           "respond": respond})
+        self.start()
+
+    @staticmethod
+    def _group_key(item):
+        opts = item["opts"]
+        rf = item["prep"]["generator_kwargs"].get("return_features", ())
+        return (rf, opts.style_ws is not None,
+                opts.get_position() is not None)
+
+    def flush(self):
+        import numpy as np
+        import jax.numpy as jnp
+
+        if not self.items:
+            return
+        items, self.items = self.items, []
+        groups = {}
+        for it in items:
+            groups.setdefault(self._group_key(it), []).append(it)
+
+        for (rf, _use_ws, _has_pos), group in groups.items():
+            n = len(group)
+            logger.debug(f"RenderBatcher: {n} request(s) in one dispatch "
+                         f"(rf={rf})")
+            bucket = next(b for b in self.BUCKETS if b >= n) \
+                if n <= self.BUCKETS[-1] else n
+            pad = group + [group[-1]] * (bucket - n)
+
+            geoms = np.concatenate([it["prep"]["geom"] for it in pad])
+            blended = None
+            if rf:
+                res = rf[0]
+                rows_f, rows_a = [], []
+                blend_r = None
+                ch = self.engine.gen_cfg.synthesis.channels(res)
+                for it in pad:
+                    bf = it["prep"]["generator_kwargs"]["blended_features"]
+                    if res in bf:
+                        f, a = bf[res]
+                        blend_r = f.shape[1]
+                    rows_f.append(bf.get(res))
+                    rows_a.append(None if res not in bf else bf[res][1])
+                if blend_r is None:
+                    blend_r = res
+                zf = jnp.zeros((1, blend_r, blend_r, ch), jnp.float32)
+                za = jnp.zeros((1, blend_r, blend_r, 1), jnp.float32)
+                feats = jnp.concatenate(
+                    [r[0] if r is not None else zf for r in rows_f])
+                alphas = jnp.concatenate(
+                    [a if a is not None else za for a in rows_a])
+                blended = {res: (feats, alphas)}
+
+            out = self.engine.render_batch(
+                geoms, [it["opts"] for it in pad],
+                blended_features=blended, return_features=rf)
+            rgba = np.asarray(out["rgba"])
+            for i, it in enumerate(group):
+                raw_row = {f"features{r}": out[f"features{r}"][i:i + 1]
+                           for r in rf}
+                img, out_meta = it["helper"].finish_render(
+                    it["prep"], rgba[i], raw_row)
+                it["respond"](img, out_meta)
 
 
 def warmup_engine(engine, blend_levels=(0, 2)):
@@ -349,6 +468,11 @@ def run_main(argv=None):
                          "device (one dispatch per stroke, ~2.5 ms at "
                          "256px); requires positional noise enabled in "
                          "the client.")
+    ap.add_argument("--batch_window_ms", type=float, default=0.0,
+                    help="Cross-session micro-batching: coalesce render "
+                         "requests from all sessions for this many ms and "
+                         "render them as one device dispatch (0 = off). "
+                         "Recommended 5-15 ms for multi-user serving.")
     ap.add_argument("--no_warmup", action="store_true",
                     help="Skip pre-compiling the render programs at "
                          "startup (first stroke then pays the compile).")
@@ -363,7 +487,8 @@ def run_main(argv=None):
         style_seed=args.style_seed,
         enable_z_saving=not args.disable_z_saving,
         library_specs=parse_libraries(args.libraries),
-        use_device_canvas=args.device_canvas)
+        use_device_canvas=args.device_canvas,
+        batch_window_ms=args.batch_window_ms)
     if not args.no_warmup:
         warmup_engine(server.paint_engine)
     server.listen(args.port)

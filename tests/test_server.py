@@ -221,3 +221,79 @@ class TestGanServerDeviceCanvas(ServerTestBase):
             assert img.shape == (pw - 8, pw - 8, 4)
             assert np.isfinite(img.astype(np.float32)).all()
         ws.close()
+
+
+class TestGanServerBatched(ServerTestBase):
+    """Cross-session micro-batching: requests from two concurrent sessions
+    coalesce into one device dispatch and each gets its own style's patch."""
+
+    def _prepare(self):
+        bundle = small_bundle()
+        self.gan_checkpoint = os.path.join(self.tmpdir, "bundle.pkl")
+        save_native(self.gan_checkpoint, bundle)
+
+    def get_app(self):
+        seeds = os.path.join(self.tmpdir, "seeds.txt")
+        with open(seeds, "w") as f:
+            f.write("1\n2\n3\n")
+        return create_server(
+            encoder_checkpoint=None,
+            gan_checkpoint=self.gan_checkpoint,
+            library_specs=[["Lib", "disp", seeds]],
+            batch_window_ms=20.0)
+
+    @tornado.testing.gen_test(timeout=240)
+    def test_two_sessions_batch(self):
+        import tornado.gen
+
+        conns = []
+        pw = None
+        for seed in (3, 9):
+            ws = yield tornado.websocket.websocket_connect(
+                f"ws://localhost:{self.get_http_port()}/websocket/")
+            info = json.loads((yield ws.read_message()))
+            pw = info["data"]["patch_width"]
+            yield ws.read_message()  # brushinfo
+            ws.write_message(json.dumps({"type": "new_canvas", "rows": 128,
+                                         "cols": 128,
+                                         "feature_blending": 1}))
+            ws.write_message(json.dumps({"type": "set_option",
+                                         "option": "positions",
+                                         "value": True}))
+            ws.write_message(json.dumps({"type": "set_brush", "seed": seed}))
+            yield ws.read_message()  # brushinfo after set_brush
+            conns.append(ws)
+
+        patch = np.zeros((pw, pw, 4), np.uint8)
+        patch[4:24, 4:24, 3] = 255
+        # Different user colors per session so the rows must not mix.
+        raw0 = protocol.encode_render_request(patch, x=16, y=16,
+                                              colors=[(0, 255, 0, 0)])
+        raw1 = protocol.encode_render_request(patch, x=32, y=32,
+                                              colors=[(0, 0, 0, 255)])
+        conns[0].write_message(raw0, binary=True)
+        conns[1].write_message(raw1, binary=True)
+
+        resp0 = yield conns[0].read_message()
+        resp1 = yield conns[1].read_message()
+        _, meta0, img0 = protocol.decode_render_response(resp0)
+        _, meta1, img1 = protocol.decode_render_response(resp1)
+        assert meta0 == {"x": 16, "y": 16}
+        assert meta1 == {"x": 32, "y": 32}
+        assert img0.shape == (pw, pw, 4) and img1.shape == (pw, pw, 4)
+        # Different styles and colors -> different renders.
+        assert not np.array_equal(img0, img1)
+        # Session 0 forced a red primary: its stroke has more red than blue.
+        fg0 = img0[..., 3] > 128
+        if fg0.any():
+            assert img0[fg0, 0].astype(int).mean() >= \
+                img0[fg0, 2].astype(int).mean()
+
+        # A second stroke per session exercises the stored-features rows.
+        conns[0].write_message(raw0, binary=True)
+        conns[1].write_message(raw1, binary=True)
+        r0 = yield conns[0].read_message()
+        r1 = yield conns[1].read_message()
+        assert isinstance(r0, bytes) and isinstance(r1, bytes)
+        for ws in conns:
+            ws.close()
