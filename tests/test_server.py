@@ -297,3 +297,49 @@ class TestGanServerBatched(ServerTestBase):
         assert isinstance(r0, bytes) and isinstance(r1, bytes)
         for ws in conns:
             ws.close()
+
+    @tornado.testing.gen_test(timeout=240)
+    def test_mixed_fresh_and_stored_rows(self):
+        """A batch mixing a session WITH stored canvas features and a fresh
+        session must blend only the former (alpha-zero padding rows)."""
+        conns = []
+        pw = None
+        for seed in (5, 6):
+            ws = yield tornado.websocket.websocket_connect(
+                f"ws://localhost:{self.get_http_port()}/websocket/")
+            info = json.loads((yield ws.read_message()))
+            pw = info["data"]["patch_width"]
+            yield ws.read_message()
+            ws.write_message(json.dumps({"type": "new_canvas", "rows": 128,
+                                         "cols": 128,
+                                         "feature_blending": 1}))
+            ws.write_message(json.dumps({"type": "set_option",
+                                         "option": "positions",
+                                         "value": True}))
+            ws.write_message(json.dumps({"type": "set_brush", "seed": seed}))
+            yield ws.read_message()
+            conns.append(ws)
+
+        patch = np.zeros((pw, pw, 4), np.uint8)
+        patch[8:24, 8:24, 3] = 255
+        raw = protocol.encode_render_request(patch, x=16, y=16)
+        # Session 0 paints once alone: it now has stored features.
+        conns[0].write_message(raw, binary=True)
+        first = yield conns[0].read_message()
+        assert isinstance(first, bytes)
+        # Now both paint simultaneously: row 0 has stored features, row 1
+        # is fresh; both must come back well-formed.
+        conns[0].write_message(raw, binary=True)
+        conns[1].write_message(raw, binary=True)
+        r0 = yield conns[0].read_message()
+        r1 = yield conns[1].read_message()
+        _, m0, i0 = protocol.decode_render_response(r0)
+        _, m1, i1 = protocol.decode_render_response(r1)
+        assert i0.shape == (pw, pw, 4) and i1.shape == (pw, pw, 4)
+        # Session 0's repeat render at the same spot stays close to its
+        # first render (stored features dominate).
+        _, _, ifirst = protocol.decode_render_response(first)
+        diff = np.abs(i0.astype(int) - ifirst.astype(int)).mean()
+        assert diff < 4.0
+        for ws in conns:
+            ws.close()
