@@ -263,15 +263,15 @@ class GanPaintEngine(PaintEngine):
             positions = np.concatenate(
                 [np.asarray(o.get_position())[:1] for o in opts_list])
 
+        # Always pass override+mask (zero mask = no-op): one compiled
+        # program regardless of which rows carry user colors.
         override = np.zeros((b, 3, 3), np.float32)
         mask = np.zeros((b, 1, 3), np.float32)
-        any_color = False
         for i, o in enumerate(opts_list):
             ov, mk = o.color_override(1)
             if ov is not None:
                 override[i] = ov[0]
                 mask[i, 0] = mk[0, 0]
-                any_color = True
 
         out = render_core(
             self.gen_cfg, self.enc_cfg, self.enc_res, self.render_mode,
@@ -282,8 +282,7 @@ class GanPaintEngine(PaintEngine):
             None if ws is None else jnp.asarray(ws),
             None if positions is None else jnp.asarray(positions),
             None,
-            jnp.asarray(override) if any_color else None,
-            jnp.asarray(mask) if any_color else None,
+            jnp.asarray(override), jnp.asarray(mask),
             blended_features, None)
         return out
 

@@ -404,13 +404,21 @@ class RenderBatcher:
                 it["respond"](img, out_meta)
 
 
-def warmup_engine(engine, blend_levels=(0, 2)):
+def warmup_engine(engine, blend_levels=(0, 2), batch_buckets=()):
     """Pre-compile the render programs the first strokes will hit, so the
-    first user stroke doesn't pay the XLA compile (~seconds)."""
+    first user stroke doesn't pay the XLA compile (~seconds).
+
+    ``batch_buckets``: additionally warm the cross-session RenderBatcher's
+    batch shapes (power-of-two bucket sizes) for the common group
+    (positions on, blended features present at the highest blend level).
+    """
     if not hasattr(engine, "_render_stroke_jax"):
         return
     import time
 
+    import jax.numpy as jnp
+
+    from brushstroke_engine_tpu.engine.brush import GanBrushOptions
     from brushstroke_engine_tpu.engine.canvas import PaintingHelper
 
     t0 = time.time()
@@ -432,7 +440,32 @@ def warmup_engine(engine, blend_levels=(0, 2)):
     if mapper is not None:
         mapper.get_colors(PaintingHelper(engine, style_seed=0)
                           .default_brush_options())
-    logger.info(f"Warmed render programs (blend levels {blend_levels}) "
+
+    # Batch-bucket shapes for the cross-session RenderBatcher.
+    if batch_buckets and blend_levels:
+        lvl = max(blend_levels)
+        pw = engine.patch_width
+        res = pw // 2 ** (lvl - 1) if lvl > 0 else None
+        geom1 = engine.prepare_geom_input(patch).reshape(1, pw, pw, 1)
+        ch = engine.gen_cfg.synthesis.channels(res) if res else 0
+        for bucket in batch_buckets:
+            geoms = np.concatenate([geom1] * bucket)
+            opts_rows = []
+            for i in range(bucket):
+                o = GanBrushOptions()
+                o.set_style(engine.random_style(i), i)
+                o.set_position(0, 0)
+                opts_rows.append(o)
+            blended = None
+            rf = ()
+            if res:
+                blended = {res: (jnp.zeros((bucket, res, res, ch)),
+                                 jnp.zeros((bucket, res, res, 1)))}
+                rf = (res,)
+            engine.render_batch(geoms, opts_rows, blended_features=blended,
+                                return_features=rf)
+    logger.info(f"Warmed render programs (blend levels {blend_levels}, "
+                f"buckets {tuple(batch_buckets)}) "
                 f"in {time.time() - t0:.1f}s")
 
 
@@ -490,7 +523,9 @@ def run_main(argv=None):
         use_device_canvas=args.device_canvas,
         batch_window_ms=args.batch_window_ms)
     if not args.no_warmup:
-        warmup_engine(server.paint_engine)
+        warmup_engine(server.paint_engine,
+                      batch_buckets=(2, 4) if args.batch_window_ms > 0
+                      else ())
     server.listen(args.port)
     logger.info(f"Serving on http://localhost:{args.port}")
     tornado.ioloop.IOLoop.instance().start()
