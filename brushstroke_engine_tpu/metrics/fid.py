@@ -6,27 +6,34 @@ statistics from the style dataset, generated statistics by painting random
 styles over dataset geometry in 'full' render mode, Frechet distance between
 gaussian fits of pool features.
 
-Feature extractor: an Inception-style conv stack with loadable weights
-(:func:`InceptionFeatures.from_torch_state` accepts the torchscript
-detector's state dict when available).  Without pretrained weights (no
-network egress in this environment) a DETERMINISTIC random-init stack is
-used; FID computed with a fixed random feature extractor is still a valid
-two-sample discrepancy (random-feature MMD/FID correlates with the standard
-metric) and is comparable across runs of this codebase.  The Frechet formula
-and statistics pipeline are exactly the standard ones, so dropping in real
-weights recovers the canonical metric.
+Feature detector kinds (every metric output should carry the kind label so
+random-feature numbers are never mistaken for canonical FID):
+
+* ``inception_v3`` -- the REAL full Inception-v3 (:mod:`..metrics.inception`),
+  loaded from torchvision-layout or the reference's TorchScript-layout
+  state_dicts via :func:`load_detector`.  With real pretrained weights this
+  computes the canonical metric.
+* ``random`` -- a light DETERMINISTIC 5-conv stack (:class:`InceptionFeatures`,
+  the default when no weights are available -- this environment has no
+  network egress).  FID over fixed random features is still a valid
+  two-sample discrepancy and is comparable across runs of this codebase,
+  but NOT against published FID numbers.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, Iterable, List, Optional
+from typing import Dict, Iterable, List, Optional, Union
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Simplified Inception-ish plan: (out_ch, kernel, stride).
+from brushstroke_engine_tpu.metrics.inception import (
+    InceptionV3, inception_features,
+)
+
+# Random-fallback plan: (out_ch, kernel, stride).
 _PLAN = [
     (32, 3, 2),
     (64, 3, 2),
@@ -34,12 +41,17 @@ _PLAN = [
     (256, 3, 2),
     (512, 3, 2),
 ]
-FEATURE_DIM = 512
+FEATURE_DIM = 512  # dim of the random-fallback detector (InceptionV3: 2048)
 
 
 @dataclass
 class InceptionFeatures:
+    """The ``kind="random"`` fallback detector: a deterministic He-init conv
+    stack.  For the real Inception-v3, see :class:`..metrics.inception.
+    InceptionV3`; this class deliberately has no weight-loading path."""
+
     convs: List[Dict[str, jnp.ndarray]]
+    kind: str = "random"
 
     @staticmethod
     def random_init(seed: int = 0) -> "InceptionFeatures":
@@ -57,39 +69,64 @@ class InceptionFeatures:
             cin = cout
         return InceptionFeatures(convs=convs)
 
-    @staticmethod
-    def from_torch_state(state: Dict[str, np.ndarray]) -> "InceptionFeatures":
-        convs = []
-        keys = sorted(k for k in state if k.endswith("weight")
-                      and np.asarray(state[k]).ndim == 4)
-        for k in keys[:len(_PLAN)]:
-            w = np.asarray(state[k])
-            b = np.asarray(state.get(k.replace("weight", "bias"),
-                                     np.zeros(w.shape[0])))
-            convs.append({"weight": jnp.asarray(np.transpose(w, (2, 3, 1, 0))),
-                          "bias": jnp.asarray(b)})
-        return InceptionFeatures(convs=convs)
+
+Detector = Union[InceptionFeatures, InceptionV3]
+
+_DEFAULT: Optional[Detector] = None
 
 
-_DEFAULT: Optional[InceptionFeatures] = None
+def load_detector(path: str) -> InceptionV3:
+    """Load a real Inception-v3 detector state_dict (torch .pt/.pth or
+    pickle of numpy arrays), auto-detecting the layout: torchvision
+    (``Mixed_5b.branch1x1.conv.weight`` keys) or the reference TorchScript
+    (``layers.mixed.tower...`` keys, metric_utils.py:253)."""
+    state = None
+    try:
+        import torch
+        obj = torch.load(path, map_location="cpu", weights_only=False)
+        if hasattr(obj, "state_dict"):
+            obj = obj.state_dict()
+        state = {k: np.asarray(v.detach() if hasattr(v, "detach") else v)
+                 for k, v in obj.items()}
+    except Exception:
+        pass
+    if state is None:
+        import pickle
+        with open(path, "rb") as f:
+            state = {k: np.asarray(v) for k, v in pickle.load(f).items()}
+    if any(k.startswith("layers.") for k in state):
+        return InceptionV3.from_nvidia_state(state)
+    return InceptionV3.from_torchvision_state(state)
 
 
-def get_default_extractor() -> InceptionFeatures:
+def get_default_extractor() -> Detector:
+    """Active detector: a real Inception-v3 when ``NEUBE_FID_DETECTOR``
+    points at a weights file, else the labeled random fallback."""
     global _DEFAULT
     if _DEFAULT is None:
-        _DEFAULT = InceptionFeatures.random_init(0)
+        import os
+        path = os.environ.get("NEUBE_FID_DETECTOR")
+        _DEFAULT = load_detector(path) if path else \
+            InceptionFeatures.random_init(0)
     return _DEFAULT
 
 
-def set_default_extractor(model: InceptionFeatures):
+def set_default_extractor(model: Detector):
     global _DEFAULT
     _DEFAULT = model
 
 
-def extract_features(images, model: Optional[InceptionFeatures] = None):
-    """NHWC uint8/float images -> [B, FEATURE_DIM] pool features."""
+def default_detector_kind() -> str:
+    return get_default_extractor().kind
+
+
+def extract_features(images, model: Optional[Detector] = None):
+    """NHWC uint8/float images -> [B, D] pool features (D = 2048 for the
+    real Inception-v3 detector, 512 for the random fallback)."""
     from brushstroke_engine_tpu.ops.precision import conv_precision
     model = model or get_default_extractor()
+    if isinstance(model, InceptionV3):
+        return inception_features(model, images)
     x = jnp.asarray(images, jnp.float32)
     if x.max() > 1.5:
         x = x / 127.5 - 1.0
@@ -108,14 +145,25 @@ class FeatureStats:
     """Streaming mean/covariance accumulator (reference metric_utils
     FeatureStats with capture_mean_cov)."""
 
-    def __init__(self, max_items: Optional[int] = None):
+    def __init__(self, max_items: Optional[int] = None,
+                 dim: Optional[int] = None):
         self.max_items = max_items
         self.num_items = 0
-        self.raw_mean = np.zeros(FEATURE_DIM, np.float64)
-        self.raw_cov = np.zeros((FEATURE_DIM, FEATURE_DIM), np.float64)
+        self.dim = dim
+        if dim is not None:
+            self._alloc(dim)
+        else:
+            self.raw_mean = self.raw_cov = None
+
+    def _alloc(self, dim: int):
+        self.dim = dim
+        self.raw_mean = np.zeros(dim, np.float64)
+        self.raw_cov = np.zeros((dim, dim), np.float64)
 
     def append(self, feats):
         feats = np.asarray(feats, np.float64)
+        if self.raw_mean is None:
+            self._alloc(feats.shape[1])
         if self.max_items is not None:
             room = self.max_items - self.num_items
             if room <= 0:
@@ -131,6 +179,8 @@ class FeatureStats:
             self.num_items >= self.max_items
 
     def get_mean_cov(self):
+        if self.raw_mean is None:
+            self._alloc(FEATURE_DIM)
         mean = self.raw_mean / max(self.num_items, 1)
         cov = self.raw_cov / max(self.num_items, 1) - np.outer(mean, mean)
         return mean, cov

@@ -52,6 +52,12 @@ class VGG16Features:
     fcs: List[Dict[str, np.ndarray]]
     width_div: int = 1
 
+    @property
+    def kind(self) -> str:
+        """Detector-kind label for metric logs: a loaded full-width VGG16
+        vs the slim random fallback."""
+        return "vgg16" if self.width_div == 1 else "vgg16_random"
+
     @staticmethod
     def random_init(seed: int = 0) -> "VGG16Features":
         # numpy RNG: concrete arrays even when lazily built under a trace.

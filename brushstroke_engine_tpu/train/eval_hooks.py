@@ -108,8 +108,11 @@ def make_eval_hooks(image_snapshot_ticks: int = 1,
                 results.update(paint_engine_metric_loop(
                     gen, lib, nbatches_per_style=1))
             if "fid" in metrics and fid_real_batches is not None:
+                from brushstroke_engine_tpu.metrics import fid as fid_lib
                 results["FID"] = forger_compute_fid(
                     gen, fid_real_batches, num_items=fid_items)
+                logger.info("FID detector kind: %s",
+                            fid_lib.default_detector_kind())
             summary_losses_to_file(
                 os.path.join(loop.run_dir, "summary_metrics.txt"),
                 results, step=loop.cur_nimg // 1000, do_print=True)

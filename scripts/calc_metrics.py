@@ -39,6 +39,11 @@ def main():
     ap.add_argument("--batch_size", type=int, default=16)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default=None, help="Optional JSON output path.")
+    ap.add_argument("--detector", default=None,
+                    help="Path to real Inception-v3 detector weights "
+                         "(torchvision or reference-TorchScript state_dict); "
+                         "defaults to NEUBE_FID_DETECTOR or the labeled "
+                         "random fallback.")
     args = ap.parse_args()
     logging.basicConfig(level=logging.INFO)
     metrics = [m.strip() for m in args.metrics.split(",") if m.strip()]
@@ -52,6 +57,9 @@ def main():
     from brushstroke_engine_tpu.train.dataset import (
         ImageFolderDataset, SyntheticGeometryDataset, BatchIterator,
     )
+
+    if args.detector:
+        fid_lib.set_default_extractor(fid_lib.load_detector(args.detector))
 
     gen = PaintStrokeGenerator.create(
         args.encoder_checkpoint, args.gan_checkpoint, args.batch_size,
@@ -140,7 +148,12 @@ def main():
             raise ValueError(f"unknown metric {m!r}")
         logger.info("%s computed", m)
 
-    line = json.dumps({k: round(float(v), 6) for k, v in results.items()})
+    out = {k: round(float(v), 6) for k, v in results.items()}
+    # Label which feature detector produced the numbers: random-feature
+    # values are valid for regression tracking but NOT comparable to
+    # published (pretrained-Inception) metric values.
+    out["detector"] = fid_lib.default_detector_kind()
+    line = json.dumps(out)
     print(line)
     if args.out:
         with open(args.out, "w") as f:

@@ -30,13 +30,21 @@ def main():
     ap.add_argument("--resolution", type=int, default=128)
     ap.add_argument("--batch_size", type=int, default=32)
     ap.add_argument("--max_items", type=int, default=50000)
+    ap.add_argument("--detector", default=None,
+                    help="Path to real Inception-v3 detector weights; "
+                         "defaults to NEUBE_FID_DETECTOR or the labeled "
+                         "random fallback.")
     ap.add_argument("--pr", action="store_true",
                     help="Also report improved precision/recall "
                          "(Kynkaanniemi 2019, nhood_size=3).")
     args = ap.parse_args()
     logging.basicConfig(level=logging.INFO)
 
+    from brushstroke_engine_tpu.metrics import fid as fid_lib
     from brushstroke_engine_tpu.metrics.fid import fid_from_image_iterables
+
+    if args.detector:
+        fid_lib.set_default_extractor(fid_lib.load_detector(args.detector))
 
     def b0():
         return batches_from_path(args.images0, args.resolution,
@@ -47,7 +55,7 @@ def main():
                                  args.batch_size, args.max_items)
 
     fid = fid_from_image_iterables(b0(), b1(), max_items=args.max_items)
-    print(f"FID: {fid:.4f}")
+    print(f"FID: {fid:.4f} (detector={fid_lib.default_detector_kind()})")
     if args.pr:
         from brushstroke_engine_tpu.metrics.pr import compute_pr_from_images
         precision, recall = compute_pr_from_images(
