@@ -253,8 +253,13 @@ class PaintingHelper:
         da = areas.clip_area(dirty_area, rows, cols)
         if da.min_width <= 0:
             return
+        # Offset into the patch by however much clipping moved the start
+        # (the wire protocol allows negative x/y; slicing from the patch
+        # corner would write the wrong sub-region).
+        ro = da.rstart - dirty_area.rstart
+        co = da.cstart - dirty_area.cstart
         self.geom_canvas[da.rstart:da.rend, da.cstart:da.cend] = \
-            np.asarray(geom).reshape(h, w)[:da.rows, :da.cols]
+            np.asarray(geom).reshape(h, w)[ro:ro + da.rows, co:co + da.cols]
 
     def _align_area_down(self, area: Area, d: int, rows: int,
                          cols: int) -> Area:
@@ -293,9 +298,27 @@ class PaintingHelper:
         gen_area = areas.expand_area(dirty_area, pw, rows, cols)
         if self.feature_canvas is not None:
             d = self.feature_canvas.down_factor
-            gen_area = areas.make_area((gen_area.rstart // d) * d,
-                                       (gen_area.cstart // d) * d, pw, pw)
             dirty_area = self._align_area_down(dirty_area, d, rows, cols)
+
+            # Place a d-aligned pw window that still covers the aligned
+            # dirty area: merely flooring the window start can leave the
+            # ceil-aligned dirty end sticking out past the rendered patch
+            # (a stale never-re-rendered sliver).
+            def _start(d_start, d_end, limit):
+                g0 = min(d_start, ((limit - pw) // d) * d)
+                g0 = max(g0, d_end - pw, 0)
+                return (g0 // d) * d
+
+            gen_area = areas.make_area(
+                _start(dirty_area.rstart, dirty_area.rend, rows),
+                _start(dirty_area.cstart, dirty_area.cend, cols), pw, pw)
+            # Safety net at unaligned canvas edges: the dirty area must
+            # never extend past the rendered patch.
+            dirty_area = areas.make_area_direct(
+                max(dirty_area.rstart, gen_area.rstart),
+                max(dirty_area.cstart, gen_area.cstart),
+                min(dirty_area.rend, gen_area.rend),
+                min(dirty_area.cend, gen_area.cend))
         geom_full = self.geom_canvas[gen_area.rstart:gen_area.rend,
                                      gen_area.cstart:gen_area.cend]
         return dirty_area, gen_area, geom_full[None, :, :, None]

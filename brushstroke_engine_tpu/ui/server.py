@@ -336,9 +336,14 @@ class RenderBatcher:
 
     def submit(self, helper, opts, stroke_patch, meta, respond):
         """Queue one request; ``respond(img, out_meta)`` is called from the
-        flush with the rendered uint8 patch."""
-        prep = helper.prepare_render(stroke_patch, meta)
-        self.items.append({"helper": helper, "opts": opts, "prep": prep,
+        flush with the rendered uint8 patch.
+
+        ``prepare_render`` (which gathers the feature canvas) is deferred to
+        flush time, and each flush takes at most ONE request per helper, so
+        overlapping strokes from the same session blend against the features
+        their predecessors wrote back -- identical to the serial path."""
+        self.items.append({"helper": helper, "opts": opts,
+                           "patch": stroke_patch, "meta": meta,
                            "respond": respond})
         self.start()
 
@@ -349,13 +354,42 @@ class RenderBatcher:
         return (rf, opts.style_ws is not None,
                 opts.get_position() is not None)
 
+    def _respond_single(self, it):
+        """Per-request fallback path (also the batch-failure recovery)."""
+        try:
+            img, _debug, out_meta = it["helper"].render_stroke(
+                it["patch"], None, it["opts"], it["meta"])
+            it["respond"](img, out_meta)
+        except Exception:
+            logger.exception("RenderBatcher: per-request fallback failed; "
+                             "dropping one response")
+
     def flush(self):
         import numpy as np
         import jax.numpy as jnp
 
         if not self.items:
             return
-        items, self.items = self.items, []
+        # Take at most one request per helper this flush; later requests
+        # from the same session stay queued until the next window so they
+        # see this one's feature write-back (sequential blending).
+        taken, deferred, seen = [], [], set()
+        for it in self.items:
+            key = id(it["helper"])
+            (deferred if key in seen else taken).append(it)
+            seen.add(key)
+        self.items = deferred
+
+        items = []
+        for it in taken:
+            try:
+                it["prep"] = it["helper"].prepare_render(it["patch"],
+                                                         it["meta"])
+                items.append(it)
+            except Exception:
+                logger.exception("RenderBatcher: prepare_render failed; "
+                                 "falling back to the per-request path")
+                self._respond_single(it)
         groups = {}
         for it in items:
             groups.setdefault(self._group_key(it), []).append(it)
@@ -392,16 +426,27 @@ class RenderBatcher:
                     [a if a is not None else za for a in rows_a])
                 blended = {res: (feats, alphas)}
 
-            out = self.engine.render_batch(
-                geoms, [it["opts"] for it in pad],
-                blended_features=blended, return_features=rf)
-            rgba = np.asarray(out["rgba"])
+            try:
+                out = self.engine.render_batch(
+                    geoms, [it["opts"] for it in pad],
+                    blended_features=blended, return_features=rf)
+                rgba = np.asarray(out["rgba"])
+            except Exception:
+                logger.exception("RenderBatcher: batched dispatch failed; "
+                                 "falling back to the per-request path")
+                for it in group:
+                    self._respond_single(it)
+                continue
             for i, it in enumerate(group):
-                raw_row = {f"features{r}": out[f"features{r}"][i:i + 1]
-                           for r in rf}
-                img, out_meta = it["helper"].finish_render(
-                    it["prep"], rgba[i], raw_row)
-                it["respond"](img, out_meta)
+                try:
+                    raw_row = {f"features{r}": out[f"features{r}"][i:i + 1]
+                               for r in rf}
+                    img, out_meta = it["helper"].finish_render(
+                        it["prep"], rgba[i], raw_row)
+                    it["respond"](img, out_meta)
+                except Exception:
+                    logger.exception("RenderBatcher: finishing one request "
+                                     "failed; its response is dropped")
 
 
 def warmup_engine(engine, blend_levels=(0, 2), batch_buckets=()):
@@ -523,8 +568,12 @@ def run_main(argv=None):
         use_device_canvas=args.device_canvas,
         batch_window_ms=args.batch_window_ms)
     if not args.no_warmup:
+        # Bucket 1 matters: a single painter with batching on renders
+        # through render_batch (a different program than the per-request
+        # path), so it must be warmed too or the first stroke pays the
+        # full XLA compile.
         warmup_engine(server.paint_engine,
-                      batch_buckets=(2, 4) if args.batch_window_ms > 0
+                      batch_buckets=(1, 2, 4, 8) if args.batch_window_ms > 0
                       else ())
     server.listen(args.port)
     logger.info(f"Serving on http://localhost:{args.port}")

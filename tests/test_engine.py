@@ -366,3 +366,51 @@ class TestStylize:
         assert out.dtype == np.uint8
         # Some stroke should have been rendered (nonzero alpha somewhere).
         assert out[..., 3].max() > 0
+
+
+class TestCanvasSyncEdgeCases:
+    def test_negative_coordinate_sync_offsets_patch(self):
+        """Clipping a negative-start dirty area must offset into the patch,
+        not write the patch's top-left corner (wire protocol allows
+        negative x/y)."""
+        eng = make_engine()
+        pw = eng.patch_width
+        helper = PaintingHelper(eng, style_seed=0)
+        helper.make_new_canvas(64, 64, feature_blending=0)
+        g = np.arange(pw * pw, dtype=np.float32).reshape(pw, pw) / (pw * pw)
+        da = areas.make_area(-8, -8, pw, pw)
+        helper._sync_geom_canvas(da, g, pw, pw)
+        np.testing.assert_array_equal(
+            helper.geom_canvas[:pw - 8, :pw - 8], g[8:, 8:])
+        # Untouched region keeps the blank-canvas value.
+        assert helper.geom_canvas[pw:, pw:].min() == 1.0
+
+    def test_partial_patch_alignment_keeps_dirty_inside_gen(self):
+        """The d-aligned gen window must cover the (ceil-aligned) dirty
+        area: a floored-start-only window leaves a stale never-re-rendered
+        sliver at the bottom/right."""
+        eng = make_engine()
+        pw = eng.patch_width
+        helper = PaintingHelper(eng, style_seed=0)
+        helper.make_new_canvas(128, 128, feature_blending=3)  # down factor 4
+        d = helper.feature_canvas.down_factor
+        assert d == 4
+        for (y, x, h, w) in [(91, 91, 24, 24), (93, 93, 10, 10),
+                             (1, 1, 24, 24), (101, 3, 16, 16),
+                             (90, 90, 24, 24)]:
+            geom = np.ones((h, w), np.float32)
+            orig = areas.make_area(y, x, h, w)
+            dirty, gen, patch = helper._expand_partial_patch(
+                orig, geom, h, w)
+            assert patch.shape == (1, pw, pw, 1)
+            # gen: aligned, patch-sized, inside the canvas.
+            assert gen.rstart % d == 0 and gen.cstart % d == 0
+            assert gen.rows == pw and gen.cols == pw
+            assert 0 <= gen.rstart and gen.rend <= 128
+            assert 0 <= gen.cstart and gen.cend <= 128
+            # dirty stays inside gen (no stale sliver) and still covers
+            # the original dirty pixels.
+            assert dirty.rstart >= gen.rstart and dirty.rend <= gen.rend
+            assert dirty.cstart >= gen.cstart and dirty.cend <= gen.cend
+            assert dirty.rstart <= orig.rstart and dirty.rend >= orig.rend
+            assert dirty.cstart <= orig.cstart and dirty.cend >= orig.cend

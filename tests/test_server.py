@@ -343,3 +343,110 @@ class TestGanServerBatched(ServerTestBase):
         assert diff < 4.0
         for ws in conns:
             ws.close()
+
+
+class TestRenderBatcherSemantics:
+    """Direct RenderBatcher unit tests (flush driven manually): same-session
+    bursts must match the serial path, and one failing group must not drop
+    other sessions' responses."""
+
+    def _engine(self):
+        from tests.helpers import make_engine
+        return make_engine(small_bundle())
+
+    def _helper(self, eng):
+        from brushstroke_engine_tpu.engine.canvas import PaintingHelper
+        h = PaintingHelper(eng, style_seed=0)
+        h.make_new_canvas(128, 128, feature_blending=1)
+        return h
+
+    def _batcher(self, eng):
+        from brushstroke_engine_tpu.ui.server import RenderBatcher
+        b = RenderBatcher(eng, window_ms=1000.0)
+        b.start = lambda: None  # no IOLoop here; flush() driven manually
+        return b
+
+    @staticmethod
+    def _patch(pw):
+        p = np.zeros((pw, pw, 4), np.uint8)
+        p[4:20, 4:20, 3] = 255
+        return p
+
+    def _opts(self, helper, x, y):
+        o = helper.default_brush_options()
+        o.set_position(x, y)
+        return o
+
+    def test_same_helper_burst_matches_serial(self):
+        eng = self._engine()
+        pw = eng.patch_width
+        patch = self._patch(pw)
+
+        # Serial reference: the second overlapping stroke blends against
+        # the first one's written-back features.
+        hs = self._helper(eng)
+        serial = []
+        for (x, y) in [(16, 16), (24, 16)]:
+            img, _, meta = hs.render_stroke(
+                patch, None, self._opts(hs, x, y), meta={"x": x, "y": y})
+            serial.append((img, meta))
+
+        # Batched: both submitted before any flush; the batcher must defer
+        # the second until the first's write-back (one per helper per
+        # flush), not render both against the same stale canvas.
+        hb = self._helper(eng)
+        b = self._batcher(eng)
+        results = []
+        for (x, y) in [(16, 16), (24, 16)]:
+            b.submit(hb, self._opts(hb, x, y), patch, {"x": x, "y": y},
+                     lambda img, m: results.append((img, m)))
+        b.flush()
+        assert len(results) == 1, "second same-session request must defer"
+        b.flush()
+        assert len(results) == 2
+        assert not b.items
+        for (img_s, meta_s), (img_b, meta_b) in zip(serial, results):
+            assert meta_b == meta_s
+            diff = np.abs(img_s.astype(int) - img_b.astype(int)).mean()
+            assert diff < 2.0, f"batched path diverged from serial: {diff}"
+
+    def test_flush_survives_batch_failure(self, monkeypatch):
+        eng = self._engine()
+        pw = eng.patch_width
+        patch = self._patch(pw)
+        b = self._batcher(eng)
+        results = []
+        for i in range(2):  # two different sessions -> one group
+            h = self._helper(eng)
+            b.submit(h, self._opts(h, 16, 16), patch, {"x": 16, "y": 16},
+                     lambda img, m: results.append((img, m)))
+
+        def boom(*a, **kw):
+            raise RuntimeError("injected batch failure")
+
+        monkeypatch.setattr(eng, "render_batch", boom)
+        b.flush()
+        # Both sessions still get responses via the per-request fallback.
+        assert len(results) == 2
+        for img, meta in results:
+            assert img.shape == (pw, pw, 4)
+            assert meta == {"x": 16, "y": 16}
+
+    def test_one_bad_respond_does_not_drop_others(self):
+        eng = self._engine()
+        pw = eng.patch_width
+        patch = self._patch(pw)
+        b = self._batcher(eng)
+        results = []
+
+        def bad_respond(img, m):
+            raise RuntimeError("client went away")
+
+        h1, h2 = self._helper(eng), self._helper(eng)
+        b.submit(h1, self._opts(h1, 16, 16), patch, {"x": 16, "y": 16},
+                 bad_respond)
+        b.submit(h2, self._opts(h2, 16, 16), patch, {"x": 16, "y": 16},
+                 lambda img, m: results.append((img, m)))
+        b.flush()
+        assert len(results) == 1
+        assert results[0][0].shape == (pw, pw, 4)
