@@ -158,10 +158,13 @@ def gen_overlapping_square_crop(input_width: int, crop1, margin: int,
     (reference CropHelper.gen_overlapping_square_crop)."""
     rng = rng or random
     width = crop1[2]
-    radius = width - margin - min_overlap - 1
+    # At widths below min_overlap + margin the guarantee degenerates to
+    # "as much overlap as fits" (small-resolution / smoke-test configs).
+    min_overlap = min(min_overlap, width - margin - 1)
+    radius = max(width - margin - min_overlap - 1, 0)
     ij = [0, 0]
     for x in range(2):
         rmin = max(0, crop1[x] - radius)
-        rmax = min(crop1[x] + radius, input_width - width - 1)
+        rmax = max(rmin, min(crop1[x] + radius, input_width - width - 1))
         ij[x] = rng.randint(rmin, rmax)
     return ij[0], ij[1], width, width

@@ -3,11 +3,12 @@
 The reference's phase loop issues one optimizer pass per phase per batch
 (training_loop_modified.py:413-496).  The phase-by-phase functions in
 steps.py mirror that; this module additionally fuses the WHOLE batch cycle --
-warmstart switch, Dmain, lazy Dreg(R1), Gmain, lazy Greg(PL), interval Ggeom,
-and the ADA p controller -- into ONE jitted program with ``lax.cond``
-branches, so a training batch is a single device dispatch (and a single
-compile).  This is the production shape of the trainer: the host only feeds
-data and reads scalars.
+warmstart switch, Dmain, lazy Dreg(R1), Gmain, lazy Greg(PL), interval
+Gstitch (with its double-crop data path), interval Ggeom, and the ADA p
+controller -- into ONE jitted program with ``lax.cond`` branches, so a
+training batch is a single device dispatch (and a single compile).  This is
+the production shape of the trainer: the host only feeds data and reads
+scalars.
 """
 
 from __future__ import annotations
@@ -29,16 +30,24 @@ def _nan_like_shapes(shape_dict) -> Dict:
 
 def make_fused_train_step(cfg: TrainConfig):
     """Returns step(state, enc_params, enc_state, real_img, geom_input,
-    geom_truth, rng, batch_idx, warm, ema_beta) -> (state, stats).
+    geom_truth, rng, batch_idx, warm, ema_beta[, geom_input2, crop1,
+    crop2]) -> (state, stats).
 
     ``warm`` is a traced bool selecting the warmstart branch; ``batch_idx``
-    drives lazy-regularization and Ggeom intervals.  Stats always contain
-    every phase's keys; phases that did not run this step report NaN.
+    drives lazy-regularization and Gstitch/Ggeom intervals.  When the config
+    enables stitching, pass the second overlapping geometry crop
+    ``geom_input2`` plus both crop rectangles (as int arrays; the stitcher
+    takes traced coordinates, so crops don't retrace) -- the Gstitch phase
+    then runs inside the same dispatch on its interval (reference phase set
+    training_loop_modified.py:296-301).  Stats always contain every phase's
+    keys; phases that did not run this step report NaN.
     """
     warm_step = ts.make_geom_step(cfg, warmstart=True).__wrapped__ \
         if cfg.geom_warmstart_kimg > 0 else None
     geom_step = ts.make_geom_step(cfg, warmstart=False).__wrapped__ \
         if cfg.geom_interval > 0 and cfg.losses("geom").items else None
+    stitch_step = ts.make_stitch_step(cfg).__wrapped__ \
+        if cfg.stitch_interval > 0 and cfg.losses("stitch").items else None
     d_main = ts.d_main_step.__wrapped__
     d_reg = ts.d_reg_step.__wrapped__
     g_main = ts.g_main_step.__wrapped__
@@ -47,9 +56,10 @@ def make_fused_train_step(cfg: TrainConfig):
 
     @partial(jax.jit, donate_argnums=(0,))
     def step(state, enc_params, enc_state, real_img, geom_input, geom_truth,
-             rng, batch_idx, warm, ema_beta):
+             rng, batch_idx, warm, ema_beta, geom_input2=None, crop1=None,
+             crop2=None):
         feats = ts.encode_geometry(cfg, enc_params, enc_state, geom_input)
-        k = jax.random.split(rng, 8)
+        k = jax.random.split(rng, 10)
         n = real_img.shape[0]
         zdim = cfg.gen_cfg.z_dim
         z1 = jax.random.normal(k[5], (n, zdim))
@@ -77,6 +87,21 @@ def make_fused_train_step(cfg: TrainConfig):
         if warm_step is not None:
             thunks["warm"] = lambda s: warm_step(s, feats, geom_truth, z1,
                                                  k[4], ema_beta)
+        if stitch_step is not None:
+            assert geom_input2 is not None and crop1 is not None \
+                and crop2 is not None, \
+                "stitching is configured: pass geom_input2/crop1/crop2"
+            z_st = jax.random.normal(k[8], (n, zdim))
+
+            def t_stitch(s):
+                # Second-crop encode lives inside the cond branch: it only
+                # costs device time on stitch batches.
+                feats2 = ts.encode_geometry(cfg, enc_params, enc_state,
+                                            geom_input2)
+                return stitch_step(s, feats, feats2, z_st, crop1, crop2,
+                                   k[9], ema_beta)
+
+            thunks["stitch"] = t_stitch
 
         # Stats prototypes (shapes only; no compute).
         protos = {name: jax.eval_shape(fn, state)[1]
@@ -106,6 +131,10 @@ def make_fused_train_step(cfg: TrainConfig):
             stats = {}
             for d in (st1, st2, st3, st4):
                 stats.update(d)
+            if stitch_step is not None:
+                s, st_s = cond_phase(batch_idx % cfg.stitch_interval == 0,
+                                     thunks["stitch"], s)
+                stats.update(st_s)
             if geom_step is not None:
                 s, st5 = cond_phase(batch_idx % cfg.geom_interval == 0,
                                     thunks["ggeom"], s)

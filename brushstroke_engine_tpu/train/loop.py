@@ -104,9 +104,6 @@ class TrainingLoop:
             from brushstroke_engine_tpu.train.fused import \
                 make_fused_train_step
             self.fused_step = make_fused_train_step(cfg)
-            if self.stitch_step is not None:
-                logger.warning("fused step does not include Gstitch; the "
-                               "stitch phase still runs separately")
 
         self.cur_nimg = 0
         self.batch_idx = 0
@@ -204,8 +201,11 @@ class TrainingLoop:
             warm = self.in_warmstart()
             style, tri_full, crop1, geom_input, geom_truth = \
                 self._fetch_batch()
-            feats = train_steps.encode_geometry(
-                cfg, self.enc_params, self.enc_state, self._data(geom_input))
+            if self.fused_step is None:
+                # The fused step encodes geometry inside its own dispatch.
+                feats = train_steps.encode_geometry(
+                    cfg, self.enc_params, self.enc_state,
+                    self._data(geom_input))
             geom_truth_j = self._data(geom_truth)
             stats: Dict[str, float] = {}
             phase_t0 = [time.time()]
@@ -224,29 +224,27 @@ class TrainingLoop:
             ema_beta = self._ema_beta()
 
             if self.fused_step is not None:
-                self.state, s = self.fused_step(
-                    self.state, self.enc_params, self.enc_state,
-                    self._data(style), self._data(geom_input),
-                    geom_truth_j, self._next_rng(),
-                    jnp.int32(self.batch_idx), jnp.bool_(warm), ema_beta)
-                stats.update({k: float(v) for k, v in s.items()
-                              if np.isfinite(float(v))})
-                if self.stitch_step is not None and not warm and \
-                        self.batch_idx % cfg.stitch_interval == 0:
+                stitch_kwargs = {}
+                if self.stitch_step is not None:
+                    # Gstitch runs INSIDE the fused dispatch on its
+                    # interval; the host only slices the second crop.
                     crop2 = self.stitcher.gen_overlapping_square_crop(
                         tri_full.shape[1], crop1)
                     g2 = tri_full[:, crop2[0]:crop2[0] + crop2[2],
                                   crop2[1]:crop2[1] + crop2[3], 1:2]
-                    feats2 = train_steps.encode_geometry(
-                        cfg, self.enc_params, self.enc_state,
-                        self._data(g2))
-                    z = self._data(np.asarray(self.rng.standard_normal(
-                        (cfg.batch_size, cfg.gen_cfg.z_dim)), np.float32))
-                    self.state, s = self.stitch_step(
-                        self.state, feats, feats2, z,
-                        jnp.asarray(crop1), jnp.asarray(crop2),
-                        self._next_rng(), ema_beta)
-                    note(s, "Gstitch")
+                    stitch_kwargs = {
+                        "geom_input2": self._data(g2),
+                        "crop1": jnp.asarray(crop1),
+                        "crop2": jnp.asarray(crop2),
+                    }
+                self.state, s = self.fused_step(
+                    self.state, self.enc_params, self.enc_state,
+                    self._data(style), self._data(geom_input),
+                    geom_truth_j, self._next_rng(),
+                    jnp.int32(self.batch_idx), jnp.bool_(warm), ema_beta,
+                    **stitch_kwargs)
+                stats.update({k: float(v) for k, v in s.items()
+                              if np.isfinite(float(v))})
             elif warm:
                 z = self._data(np.asarray(self.rng.standard_normal(
                     (cfg.batch_size, cfg.gen_cfg.z_dim)), np.float32))

@@ -131,8 +131,9 @@ class RandomStitcher:
             fake2, fake1, b2, (crop1[0] - crop2[0], crop1[1] - crop2[1]))
 
         # Fixed-size aligned windows of the SAME canvas region for the patch
-        # losses (size = min_overlap, guaranteed by crop generation).
-        pw = int(self.min_overlap)
+        # losses (size = min_overlap, guaranteed by crop generation; at
+        # resolutions below min_overlap the window is the whole crop).
+        pw = min(int(self.min_overlap), width)
         abs_rs = jnp.maximum(crop1[0] + m, crop2[0])
         abs_cs = jnp.maximum(crop1[1] + m, crop2[1])
         p1_r = jnp.clip(abs_rs - crop1[0], 0, width - pw)

@@ -78,3 +78,113 @@ def test_fused_updates_params():
                     jnp.float32(0.99))
     after = np.asarray(jax.tree_util.tree_leaves(state["g_params"])[0])
     assert not np.allclose(before, after)
+
+
+def test_fused_step_with_stitching():
+    """Gstitch runs inside the fused dispatch on its interval (no separate
+    stitch dispatch), with the double-crop data path."""
+    b = small_bundle()
+    cfg = TrainConfig(
+        gen_cfg=b.gen_cfg,
+        disc_cfg=DiscriminatorConfig(c_dim=0, img_resolution=32,
+                                     img_channels=3, channel_base=2048,
+                                     channel_max=32),
+        enc_cfg=b.enc_cfg, enc_res=(0,), batch_size=2,
+        main_phase_losses="0.1*iou_inv(uvs)",
+        stitch_interval=2,
+        stitch_phase_losses="1*gan(fake_composite)+0.5*l1(fake_composite)",
+        g_reg_interval=2, d_reg_interval=2)
+    state = init_train_state(cfg, jax.random.PRNGKey(0),
+                             g_params=b.gen_params, g_state=b.gen_state)
+    step = make_fused_train_step(cfg)
+    rng0 = np.random.RandomState(0)
+    real = jnp.asarray(rng0.randn(2, 32, 32, 3), jnp.float32)
+    geom = jnp.asarray((rng0.rand(2, 32, 32, 1) > 0.5), jnp.float32)
+    geom2 = jnp.asarray((rng0.rand(2, 32, 32, 1) > 0.5), jnp.float32)
+    crop1 = jnp.asarray((0, 0, 32, 32))
+    crop2 = jnp.asarray((10, 6, 32, 32))
+
+    # batch_idx=2: stitch interval hits.
+    state, stats = step(state, b.enc_params, b.enc_state, real, geom, geom,
+                        jax.random.PRNGKey(1), jnp.int32(2),
+                        jnp.bool_(False), jnp.float32(0.99),
+                        geom_input2=geom2, crop1=crop1, crop2=crop2)
+    ran = {k for k, v in stats.items() if np.isfinite(float(v))}
+    assert "Loss/forger/Gstitch/total" in ran
+    assert "Loss/D/loss" in ran
+
+    # batch_idx=1: stitch interval misses -> NaN stats, same program.
+    state, stats = step(state, b.enc_params, b.enc_state, real, geom, geom,
+                        jax.random.PRNGKey(2), jnp.int32(1),
+                        jnp.bool_(False), jnp.float32(0.99),
+                        geom_input2=geom2, crop1=crop1, crop2=crop2)
+    ran = {k for k, v in stats.items() if np.isfinite(float(v))}
+    assert "Loss/forger/Gstitch/total" not in ran
+    assert "Loss/forger/Gstitch/total" in stats  # key present, NaN
+
+
+def test_fused_stitch_requires_data():
+    b = small_bundle()
+    cfg = TrainConfig(
+        gen_cfg=b.gen_cfg,
+        disc_cfg=DiscriminatorConfig(c_dim=0, img_resolution=32,
+                                     img_channels=3, channel_base=2048,
+                                     channel_max=32),
+        enc_cfg=b.enc_cfg, enc_res=(0,), batch_size=2,
+        main_phase_losses="0.1*iou_inv(uvs)",
+        stitch_interval=2,
+        stitch_phase_losses="1*gan(fake_composite)")
+    state = init_train_state(cfg, jax.random.PRNGKey(0),
+                             g_params=b.gen_params, g_state=b.gen_state)
+    step = make_fused_train_step(cfg)
+    rng0 = np.random.RandomState(0)
+    real = jnp.asarray(rng0.randn(2, 32, 32, 3), jnp.float32)
+    geom = jnp.asarray((rng0.rand(2, 32, 32, 1) > 0.5), jnp.float32)
+    with pytest.raises(AssertionError, match="stitching is configured"):
+        step(state, b.enc_params, b.enc_state, real, geom, geom,
+             jax.random.PRNGKey(1), jnp.int32(0), jnp.bool_(False),
+             jnp.float32(0.99))
+
+
+def test_fused_loop_with_stitching(tmp_path):
+    """The training loop with --fused + stitching is ONE dispatch per batch:
+    Gstitch stats appear on its interval without a separate stitch step."""
+    from brushstroke_engine_tpu.train.loop import TrainingLoop
+    from brushstroke_engine_tpu.train.dataset import SyntheticGeometryDataset
+
+    b = small_bundle()
+    cfg = TrainConfig(
+        gen_cfg=b.gen_cfg,
+        disc_cfg=DiscriminatorConfig(c_dim=0, img_resolution=32,
+                                     img_channels=3, channel_base=2048,
+                                     channel_max=32),
+        enc_cfg=b.enc_cfg, enc_res=(0,), batch_size=2,
+        main_phase_losses="0.1*iou_inv(uvs)",
+        stitch_interval=2,
+        stitch_phase_losses="1*gan(fake_composite)",
+        geom_warmstart_kimg=0, g_reg_interval=2, d_reg_interval=2,
+        kimg_per_tick=0)
+
+    class StyleIter:
+        def __next__(self):
+            return (np.random.RandomState(0).rand(2, 32, 32, 3)
+                    * 255).astype(np.uint8)
+
+    geo_ds = SyntheticGeometryDataset(48, size=4)
+
+    class GeomIter:
+        def __init__(self):
+            self.i = 0
+
+        def __next__(self):
+            self.i += 1
+            return np.stack([geo_ds[self.i % 4], geo_ds[(self.i + 1) % 4]])
+
+    loop = TrainingLoop(cfg, b.enc_params, b.enc_state, StyleIter(),
+                        GeomIter(), run_dir=str(tmp_path), use_fused=True)
+    assert loop.fused_step is not None and loop.stitch_step is not None
+    loop.run(total_kimg=4 / 1000.0)
+    assert loop.cur_nimg >= 4
+    lines = [json.loads(ln) for ln in open(loop.stats_path)]
+    stitch_vals = [ln.get("Loss/forger/Gstitch/total") for ln in lines]
+    assert any(v is not None and np.isfinite(v) for v in stitch_vals)
