@@ -23,7 +23,9 @@ per-patch Python/host overhead).  To be replaced by a measured number when a
 GPU reference environment is available.
 """
 
+import importlib.util
 import json
+import os
 import time
 
 import numpy as np
@@ -101,11 +103,37 @@ def main():
         best = max(best, BATCH * LOOP_ITERS / dt)
 
     patches_per_sec = best
+
+    # Secondary contract: per-stroke latency (BASELINE target <30 ms p50),
+    # measured on the device-resident painting session and reusing this
+    # process's bundle + device params.  Failure must not sink the headline.
+    latency = {}
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "bench_latency", os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), "scripts", "bench_latency.py"))
+        bl = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(bl)
+        stats = bl.measure_latency(resolution=RESOLUTION, strokes=16,
+                                   reps=3, bundle=bundle,
+                                   device_params=(gp, gs, ep, es))
+        latency = {
+            "latency_ms_p50": stats["device_ms_p50"],
+            "latency_ms_p99": stats["device_ms_p99"],
+            "latency_target_ms": stats["target_ms"],
+        }
+    except Exception as e:
+        latency = {"latency_error": str(e)[:200]}
+
     print(json.dumps({
         "metric": "256px stylized patches/sec/chip",
         "value": round(patches_per_sec, 2),
         "unit": "patches/s",
         "vs_baseline": round(patches_per_sec / REF_PATCHES_PER_SEC_GPU, 2),
+        # The denominator is an estimate (the reference publishes no
+        # numbers and no GPU is available here); see module docstring.
+        "baseline_kind": "estimate",
+        **latency,
     }))
 
 

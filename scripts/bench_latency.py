@@ -6,7 +6,11 @@ dispatch (encode + synthesize with canvas feature blending + composite +
 canvas write-back), with consecutive strokes chained through the donated
 canvas state.  Reports amortized per-stroke device time over a chain of
 strokes (on the tunneled dev chip host->device dispatch adds latency that
-does not exist in production serving).
+does not exist in production serving); percentiles are taken over repeated
+chains, which is the host-observable granularity on a tunneled chip.
+
+``measure_latency`` is also consumed by the repo-root ``bench.py`` so the
+driver-recorded benchmark carries the latency contract.
 """
 
 import argparse
@@ -20,13 +24,14 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
 
 
-def main():
-    ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--resolution", type=int, default=256)
-    ap.add_argument("--strokes", type=int, default=32)
-    ap.add_argument("--canvas", type=int, default=2048)
-    args = ap.parse_args()
+def measure_latency(resolution=256, strokes=32, canvas=2048, reps=3,
+                    bundle=None, device_params=None):
+    """Returns a dict with per-stroke latency stats (ms).
 
+    ``bundle``/``device_params``: optionally reuse an already-built flagship
+    bundle and its device-resident (gp, gs, ep, es) trees (bench.py passes
+    its own to avoid double init).
+    """
     import jax
     import jax.numpy as jnp
     from brushstroke_engine_tpu.ops.precision import set_precision_mode
@@ -40,17 +45,22 @@ def main():
     from brushstroke_engine_tpu.data.curves import random_spline_stroke
 
     set_precision_mode("fast")
-    cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
-        b = flagship_bundle(img_resolution=args.resolution, num_bf16_res=6)
     dev = jax.devices()[0]
-    gp, gs, ep, es = jax.device_put(
-        (b.gen_params, b.gen_state, b.enc_params, b.enc_state), dev)
+    if bundle is None:
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            bundle = flagship_bundle(img_resolution=resolution,
+                                     num_bf16_res=6)
+    b = bundle
+    if device_params is None:
+        device_params = jax.device_put(
+            (b.gen_params, b.gen_state, b.enc_params, b.enc_state), dev)
+    gp, gs, ep, es = device_params
     engine = TriadGanPaintEngine(
         b.gen_cfg, gp, gs, b.enc_cfg, ep, es,
         geom_inject_resolutions=b.geom_inject_resolutions)
 
-    sess = DevicePaintSession(engine, args.canvas, args.canvas,
+    sess = DevicePaintSession(engine, canvas, canvas,
                               feature_blending_level=2)
     opts = GanBrushOptions()
     opts.set_style(engine.random_style(594), 594)
@@ -64,18 +74,18 @@ def main():
         p[..., 3] = ((1 - g) * 255).astype(np.uint8)
         patches.append(p)
 
-    # Warmup / compile.
+    # Warmup / compile of the interactive per-dispatch path.
     sess.render_stroke(patches[0], opts, x=0, y=0)
 
-    xs = rng.integers(0, args.canvas - w, size=args.strokes)
-    ys = rng.integers(0, args.canvas - w, size=args.strokes)
+    xs = rng.integers(0, canvas - w, size=strokes)
+    ys = rng.integers(0, canvas - w, size=strokes)
     t0 = time.perf_counter()
-    for i in range(args.strokes):
+    for i in range(strokes):
         img, _ = sess.render_stroke(patches[i % 8], opts,
                                     x=int(xs[i]), y=int(ys[i]))
     # img of the last stroke is already a host numpy array (sync point).
     dt = time.perf_counter() - t0
-    per_stroke_tunnel_ms = dt / args.strokes * 1e3
+    per_stroke_tunnel_ms = dt / strokes * 1e3
 
     # --- pure device latency: chain strokes inside one jitted fori_loop ---
     down = sess.down
@@ -87,34 +97,56 @@ def main():
     params = (gp, gs, ep, es)
     step = render_stroke_step.__wrapped__
 
+    import jax
+
     @jax.jit
-    def chain(canvas, geom_stack, pos_arr, z):
+    def chain(canvas_state, geom_stack, pos_arr, z):
         def body(i, carry):
-            canvas, acc = carry
+            canvas_state, acc = carry
             geom = jax.lax.dynamic_index_in_dim(geom_stack, i % 8,
                                                 keepdims=True)[0][None]
-            rgba, canvas = step(
+            rgba, canvas_state = step(
                 b.gen_cfg, b.enc_cfg, tuple(b.geom_inject_resolutions),
                 "clear", sess.blend_res, sess.blend_margin,
-                sess.crop_margin, params, canvas, geom, pos_arr[i], z,
+                sess.crop_margin, params, canvas_state, geom, pos_arr[i], z,
                 None, None, None)
-            return canvas, acc + rgba.sum()
+            return canvas_state, acc + rgba.sum()
 
-        canvas, acc = jax.lax.fori_loop(0, args.strokes, body,
-                                        (canvas, jnp.float32(0)))
+        canvas_state, acc = jax.lax.fori_loop(0, strokes, body,
+                                              (canvas_state, jnp.float32(0)))
         return acc
 
     float(chain(sess.canvas, geom_stack, pos_arr, z))  # compile
-    t0 = time.perf_counter()
-    float(chain(sess.canvas, geom_stack, pos_arr, z))
-    per_stroke_device_ms = (time.perf_counter() - t0) / args.strokes * 1e3
+    samples = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(chain(sess.canvas, geom_stack, pos_arr, z))
+        samples.append((time.perf_counter() - t0) / strokes * 1e3)
+    samples = np.asarray(samples)
 
-    print(json.dumps({
-        "metric": f"per-stroke latency ({args.resolution}px, device canvas)",
-        "device_ms_per_stroke": round(per_stroke_device_ms, 2),
+    return {
+        "device_ms_per_stroke": round(float(np.median(samples)), 2),
+        "device_ms_p50": round(float(np.percentile(samples, 50)), 2),
+        "device_ms_p99": round(float(np.percentile(samples, 99)), 2),
         "with_tunnel_dispatch_ms": round(per_stroke_tunnel_ms, 2),
         "target_ms": 30,
-    }))
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--resolution", type=int, default=256)
+    ap.add_argument("--strokes", type=int, default=32)
+    ap.add_argument("--canvas", type=int, default=2048)
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    stats = measure_latency(resolution=args.resolution,
+                            strokes=args.strokes, canvas=args.canvas,
+                            reps=args.reps)
+    stats["metric"] = (f"per-stroke latency ({args.resolution}px, "
+                       f"device canvas)")
+    print(json.dumps(stats))
 
 
 if __name__ == "__main__":
