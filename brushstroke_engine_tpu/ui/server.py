@@ -187,10 +187,17 @@ class DrawingWebSocketHandler(tornado.websocket.WebSocketHandler):
             if msg.get("style_id") and msg.get("library_id"):
                 lib_id = msg.get("library_id")
                 style_id = msg.get("style_id")
+                style_id2 = msg.get("style_id2")
                 if lib_id in self.libraries and \
                         style_id in self.libraries[lib_id].get_style_ids():
-                    self.libraries[lib_id].set_style(
-                        style_id, self.helper.brush_options)
+                    lib = self.libraries[lib_id]
+                    if style_id2 and style_id2 in lib.get_style_ids():
+                        lib.set_interpolated_style(
+                            style_id, style_id2,
+                            float(msg.get("alpha", 0.5)),
+                            self.helper.brush_options)
+                    else:
+                        lib.set_style(style_id, self.helper.brush_options)
                     self.helper.brush_options.library_id = lib_id
             else:
                 self.helper.set_new_brush(msg.get("seed"))

@@ -99,6 +99,8 @@ class TestMockServer(ServerTestBase):
         js = open(os.path.join(base, "static", "app.js")).read()
         html = open(os.path.join(base, "templates", "home.html")).read()
         ids = set(re.findall(r"getElementById\([\"']([^\"']+)[\"']\)", js))
+        # app.js aliases getElementById as $(...)
+        ids |= set(re.findall(r"\$\([\"']([^\"']+)[\"']\)", js))
         assert ids, "no getElementById calls found?"
         missing = [i for i in ids if f'id="{i}"' not in html]
         assert not missing, missing
@@ -174,6 +176,47 @@ class TestGanServer(ServerTestBase):
         resp = self.fetch("/brush/Lib/1.jpg")
         assert resp.code == 200
         assert len(resp.body) > 100
+
+    @tornado.testing.gen_test(timeout=120)
+    def test_debug_roundtrip(self):
+        """A debug-flagged render request yields the normal patch AND an
+        rtype==1 debug sheet (the client's debug panel consumes it)."""
+        ws = yield tornado.websocket.websocket_connect(
+            f"ws://localhost:{self.get_http_port()}/websocket/")
+        info = json.loads((yield ws.read_message()))
+        pw = info["data"]["patch_width"]
+        yield ws.read_message()  # brushinfo
+        ws.write_message(json.dumps({"type": "new_canvas", "rows": 128,
+                                     "cols": 128, "feature_blending": 0}))
+        patch = np.zeros((pw, pw, 4), np.uint8)
+        patch[4:20, 4:20, 3] = 255
+        raw = protocol.encode_render_request(patch, x=0, y=0, debug=True)
+        ws.write_message(raw, binary=True)
+        r1 = yield ws.read_message()
+        r2 = yield ws.read_message()
+        t1, _, img1 = protocol.decode_render_response(r1)
+        t2, _, img2 = protocol.decode_render_response(r2)
+        assert {t1, t2} == {0, 1}
+        dbg = img1 if t1 == 1 else img2
+        assert dbg.size > 0 and dbg.shape[-1] == 4
+        ws.close()
+
+    @tornado.testing.gen_test(timeout=120)
+    def test_interpolated_brush_selection(self):
+        """set_brush with style_id2 + alpha selects an interpolated style
+        (the client's shift-click + blend slider path)."""
+        ws = yield tornado.websocket.websocket_connect(
+            f"ws://localhost:{self.get_http_port()}/websocket/")
+        yield ws.read_message()  # modelinfo
+        yield ws.read_message()  # brushinfo
+        ws.write_message(json.dumps({"type": "set_brush",
+                                     "library_id": "Lib",
+                                     "style_id": "1", "style_id2": "2",
+                                     "alpha": 0.25}))
+        info = json.loads((yield ws.read_message()))
+        assert info["data"]["style_id"] == "1_0.25__2"
+        assert info["data"]["library_id"] == "Lib"
+        ws.close()
 
 
 class TestGanServerDeviceCanvas(ServerTestBase):
