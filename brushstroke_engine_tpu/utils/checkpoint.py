@@ -20,8 +20,10 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import math
 import os
 import pickle
+import re
 from dataclasses import dataclass
 from typing import Any, Dict, Optional, Tuple
 
@@ -368,6 +370,133 @@ def convert_encoder_state(flat: Dict[str, np.ndarray],
         params["decoder"][name] = p
         state["decoder"][name] = s
     return params, state
+
+
+# ---------------------------------------------------------------------------
+# TF-legacy (StyleGAN2 TensorFlow pickle) ingestion
+# ---------------------------------------------------------------------------
+
+def tf_collect_params(net) -> Dict[str, np.ndarray]:
+    """Flatten a (stub-unpickled) dnnlib.tflib Network into name -> array
+    (reference legacy.py:75-84: recurse .variables + .components)."""
+    state = tx.module_attrs(net)
+    out: Dict[str, np.ndarray] = {}
+
+    def recurse(prefix, s):
+        for name, value in (s.get("variables") or []):
+            out[prefix + name] = np.asarray(value)
+        for name, comp in (s.get("components") or {}).items():
+            recurse(prefix + name + "/", tx.module_attrs(comp))
+
+    recurse("", state)
+    return out
+
+
+def tf_generator_to_torch_layout(tf_params: Dict[str, np.ndarray],
+                                 img_resolution: int
+                                 ) -> Dict[str, np.ndarray]:
+    """TF variable names/layouts -> the torch-name flat map this module's
+    generator converter consumes (reference legacy.py:109-205 mapping
+    table: TF conv weights are HWIO -- and stored pre-flipped for up-convs
+    -- mod_bias is stored minus one, noise buffers are [1,1,H,W])."""
+    # ToRGB_lod{n} aliases (progressive-growing export, legacy.py:159-164).
+    for name in list(tf_params):
+        m = re.fullmatch(r"ToRGB_lod(\d+)/(.*)", name)
+        if m:
+            r = img_resolution // (2 ** int(m.group(1)))
+            tf_params[f"synthesis/{r}x{r}/ToRGB/{m.group(2)}"] = \
+                tf_params[name]
+    if any("/Skip/" in k for k in tf_params):
+        raise ValueError("resnet-architecture TF pickles are not supported")
+
+    flat: Dict[str, np.ndarray] = {}
+    if "dlatent_avg" in tf_params:
+        flat["mapping.w_avg"] = tf_params["dlatent_avg"]
+    i = 0
+    while f"mapping/Dense{i}/weight" in tf_params:
+        flat[f"mapping.fc{i}.weight"] = \
+            tf_params[f"mapping/Dense{i}/weight"].T
+        flat[f"mapping.fc{i}.bias"] = tf_params[f"mapping/Dense{i}/bias"]
+        i += 1
+
+    def conv(dst, src, flip=False):
+        w = tf_params[f"{src}/weight"]           # [kh, kw, in, out] (TF)
+        if flip:
+            w = w[::-1, ::-1]
+        flat[f"{dst}.weight"] = np.ascontiguousarray(
+            np.transpose(w, (3, 2, 0, 1)))        # -> torch OIHW
+        flat[f"{dst}.bias"] = tf_params[f"{src}/bias"]
+
+    def modulated(dst, src, noise_idx, flip=False):
+        conv(dst, src, flip=flip)
+        flat[f"{dst}.noise_strength"] = np.asarray(
+            tf_params[f"{src}/noise_strength"])
+        flat[f"{dst}.noise_const"] = \
+            tf_params[f"synthesis/noise{noise_idx}"][0, 0]
+        flat[f"{dst}.affine.weight"] = tf_params[f"{src}/mod_weight"].T
+        flat[f"{dst}.affine.bias"] = tf_params[f"{src}/mod_bias"] + 1
+
+    flat["synthesis.b4.const"] = tf_params["synthesis/4x4/Const/const"][0]
+    modulated("synthesis.b4.conv1", "synthesis/4x4/Conv", 0)
+    res = 8
+    while f"synthesis/{res}x{res}/Conv1/weight" in tf_params:
+        n = int(math.log2(res))
+        modulated(f"synthesis.b{res}.conv0",
+                  f"synthesis/{res}x{res}/Conv0_up", 2 * n - 5, flip=True)
+        modulated(f"synthesis.b{res}.conv1",
+                  f"synthesis/{res}x{res}/Conv1", 2 * n - 4)
+        res *= 2
+    for r in [4] + [2 ** k for k in range(3, int(math.log2(res)) + 1)]:
+        src = f"synthesis/{r}x{r}/ToRGB"
+        if f"{src}/weight" in tf_params:
+            conv(f"synthesis.b{r}.torgb", src)
+            flat[f"synthesis.b{r}.torgb.affine.weight"] = \
+                tf_params[f"{src}/mod_weight"].T
+            flat[f"synthesis.b{r}.torgb.affine.bias"] = \
+                tf_params[f"{src}/mod_bias"] + 1
+    return flat
+
+
+def convert_tf_generator_pkl(path: str, which: str = "Gs"):
+    """Load a TF-legacy StyleGAN2 pickle (tuple of (G, D, Gs) Networks,
+    reference legacy.py:29-36) and convert its generator to our layouts.
+
+    Returns (gen_cfg, params, state) for :func:`generator_apply` with the
+    orig color format (TF pickles predate NeuBE's heads and carry no
+    geometry encoder, so this is a generator converter, not a full
+    EngineBundle).
+    """
+    pkl = tx.load_reference_pickle(path)
+    if isinstance(pkl, tuple):
+        nets = dict(zip(["G", "D", "Gs"], pkl))
+    elif isinstance(pkl, dict):
+        nets = pkl
+    else:
+        raise ValueError(f"unexpected TF pickle structure in {path}")
+    net = nets.get(which, nets.get("Gs", nets.get("G")))
+    attrs = tx.module_attrs(net)
+    if int(attrs.get("version", 0)) < 4:
+        raise ValueError("TensorFlow pickle version too low (legacy.py:111)")
+    kw = dict(attrs.get("static_kwargs") or {})
+
+    tf_params = tf_collect_params(net)
+    img_resolution = int(kw.get("resolution", 1024))
+    flat = tf_generator_to_torch_layout(tf_params, img_resolution)
+
+    architecture = kw.get("architecture", "skip")
+    gen_cfg = make_generator_config(
+        z_dim=int(kw.get("latent_size", 512)),
+        c_dim=int(kw.get("label_size", 0)),
+        w_dim=int(kw.get("dlatent_size", 512)),
+        img_resolution=img_resolution,
+        img_channels=int(kw.get("num_channels", 3)),
+        color_format="orig", architecture=architecture,
+        channel_base=int(kw.get("fmap_base", 16384)) * 2,
+        channel_max=int(kw.get("fmap_max", 512)),
+        conv_clamp=kw.get("conv_clamp"),
+        mapping_layers=int(kw.get("mapping_layers", 8)))
+    params, state = convert_generator_state(flat, gen_cfg)
+    return gen_cfg, params, state
 
 
 # ---------------------------------------------------------------------------

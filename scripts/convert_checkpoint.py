@@ -6,6 +6,9 @@ Handles:
     training_loop_modified.py:560-578) -> native engine bundle
   * standalone encoder .pt checkpoints -> native AE checkpoint
   * brush library pkls with torch tensors -> torch-free numpy pkls
+  * TF-legacy StyleGAN2 pickles ((G, D, Gs) tflib tuple; reference
+    legacy.py:109) -> native generator checkpoint (orig color format;
+    no geometry encoder in those pickles)
 
 No reference code is executed: persistence-pickled modules are read with the
 exec-free extractor (brushstroke_engine_tpu/utils/torch_extract.py).
@@ -72,6 +75,23 @@ def convert_library(src, dst):
     print(f"Converted library {src} -> {dst} ({len(out)} styles)")
 
 
+def convert_tf(src, dst):
+    from brushstroke_engine_tpu.utils import checkpoint as ckpt
+    import dataclasses
+    cfg, params, state = ckpt.convert_tf_generator_pkl(src)
+    payload = {
+        "magic": "brushstroke_engine_tpu.tf_generator.v1",
+        "gen_cfg": dataclasses.asdict(cfg),
+        "gen_params": params,
+        "gen_state": state,
+    }
+    with open(dst, "wb") as f:
+        pickle.dump(payload, f, protocol=4)
+    n = sum(int(np.prod(np.shape(x))) for x in _leaves(params))
+    print(f"Converted TF generator {src} -> {dst} ({n:,} params, "
+          f"{cfg.img_resolution}px {cfg.synthesis.architecture})")
+
+
 def _leaves(tree):
     import jax
     return jax.tree_util.tree_leaves(tree)
@@ -80,7 +100,7 @@ def _leaves(tree):
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--kind", required=True,
-                    choices=["snapshot", "encoder", "library"])
+                    choices=["snapshot", "encoder", "library", "tf"])
     ap.add_argument("--src", required=True)
     ap.add_argument("--dst", required=True)
     ap.add_argument("--encoder_checkpoint", default=None,
@@ -92,6 +112,8 @@ def main():
         convert_snapshot(args.src, args.dst, args.encoder_checkpoint)
     elif args.kind == "encoder":
         convert_encoder(args.src, args.dst)
+    elif args.kind == "tf":
+        convert_tf(args.src, args.dst)
     else:
         convert_library(args.src, args.dst)
 

@@ -227,3 +227,170 @@ def _fake_reconstruct(meta):
 # Make the pickle reference resolvable under the reference's module path.
 _fake_reconstruct.__module__ = "torch_utils.persistence"
 _fake_reconstruct.__qualname__ = "_reconstruct_persistent_obj"
+
+
+class TestTFLegacyConversion:
+    """TF-legacy StyleGAN2 pickle ingestion (reference legacy.py:109-205):
+    synthetic TF-layout params built by inverting the documented mapping
+    must convert to exactly the same trees as the torch-layout path."""
+
+    def _torch_flat_from_params(self, cfg, params, state):
+        """Our params -> torch-name flat map (orig format, skip arch)."""
+        flat = {}
+        for i in range(cfg.mapping_layers):
+            p = params["mapping"][f"fc{i}"]
+            flat[f"mapping.fc{i}.weight"] = np.asarray(p["weight"]).T
+            flat[f"mapping.fc{i}.bias"] = np.asarray(p["bias"])
+        flat["mapping.w_avg"] = np.zeros(cfg.w_dim, np.float32)
+        for res in cfg.synthesis.block_resolutions:
+            bp = params["synthesis"][f"b{res}"]
+            b = f"synthesis.b{res}"
+            if res == 4:
+                flat[f"{b}.const"] = np.transpose(
+                    np.asarray(bp["const"]), (2, 0, 1))
+            for conv in (["conv1"] if res == 4 else ["conv0", "conv1"]):
+                cp = bp[conv]
+                flat[f"{b}.{conv}.affine.weight"] = \
+                    np.asarray(cp["affine"]["weight"]).T
+                flat[f"{b}.{conv}.affine.bias"] = \
+                    np.asarray(cp["affine"]["bias"])
+                flat[f"{b}.{conv}.weight"] = np.transpose(
+                    np.asarray(cp["weight"]), (3, 2, 0, 1))
+                flat[f"{b}.{conv}.bias"] = np.asarray(cp["bias"])
+                flat[f"{b}.{conv}.noise_strength"] = \
+                    np.asarray(cp["noise_strength"])
+                flat[f"{b}.{conv}.noise_const"] = np.asarray(
+                    state["noise"][f"b{res}.{conv}.noise_const"])
+            if "torgb" in bp:
+                tp = bp["torgb"]
+                flat[f"{b}.torgb.affine.weight"] = \
+                    np.asarray(tp["affine"]["weight"]).T
+                flat[f"{b}.torgb.affine.bias"] = \
+                    np.asarray(tp["affine"]["bias"])
+                flat[f"{b}.torgb.weight"] = np.transpose(
+                    np.asarray(tp["weight"]), (3, 2, 0, 1))
+                flat[f"{b}.torgb.bias"] = np.asarray(tp["bias"])
+        return flat
+
+    def _tf_params_from_torch_flat(self, flat, cfg):
+        """Invert the legacy.py mapping: torch names -> TF variable names."""
+        import math as m
+        tf = {}
+        tf["dlatent_avg"] = flat["mapping.w_avg"]
+        for i in range(cfg.mapping_layers):
+            tf[f"mapping/Dense{i}/weight"] = flat[f"mapping.fc{i}.weight"].T
+            tf[f"mapping/Dense{i}/bias"] = flat[f"mapping.fc{i}.bias"]
+        tf["synthesis/4x4/Const/const"] = flat["synthesis.b4.const"][None]
+
+        def put(dst_tf, src_torch, noise_idx=None, flip=False):
+            w = np.transpose(flat[f"{src_torch}.weight"], (2, 3, 1, 0))
+            if flip:
+                w = w[::-1, ::-1]
+            tf[f"{dst_tf}/weight"] = np.ascontiguousarray(w)
+            tf[f"{dst_tf}/bias"] = flat[f"{src_torch}.bias"]
+            tf[f"{dst_tf}/mod_weight"] = \
+                flat[f"{src_torch}.affine.weight"].T
+            tf[f"{dst_tf}/mod_bias"] = \
+                flat[f"{src_torch}.affine.bias"] - 1
+            if noise_idx is not None:
+                tf[f"{dst_tf}/noise_strength"] = \
+                    flat[f"{src_torch}.noise_strength"]
+                tf[f"synthesis/noise{noise_idx}"] = \
+                    flat[f"{src_torch}.noise_const"][None, None]
+
+        put("synthesis/4x4/Conv", "synthesis.b4.conv1", noise_idx=0)
+        for res in cfg.synthesis.block_resolutions:
+            n = int(m.log2(res))
+            if res > 4:
+                put(f"synthesis/{res}x{res}/Conv0_up",
+                    f"synthesis.b{res}.conv0", noise_idx=2 * n - 5,
+                    flip=True)
+                put(f"synthesis/{res}x{res}/Conv1",
+                    f"synthesis.b{res}.conv1", noise_idx=2 * n - 4)
+            if f"synthesis.b{res}.torgb.weight" in flat:
+                put(f"synthesis/{res}x{res}/ToRGB",
+                    f"synthesis.b{res}.torgb")
+        return tf
+
+    def test_tf_pickle_roundtrip(self, tmp_path):
+        import jax
+        from brushstroke_engine_tpu.models.generator import (
+            make_generator_config, generator_init,
+        )
+        cfg = make_generator_config(
+            z_dim=8, w_dim=8, img_resolution=16, color_format="orig",
+            architecture="skip", channel_base=64, channel_max=16,
+            mapping_layers=2)
+        params, state = generator_init(cfg, jax.random.PRNGKey(0))
+        state = dict(state, w_avg=jnp.zeros(cfg.w_dim))
+        flat = self._torch_flat_from_params(cfg, params, state)
+        tf_params = self._tf_params_from_torch_flat(flat, cfg)
+
+        # Pickle as a (G, D, Gs) tuple of fake tflib Networks.
+        import sys
+        import types
+        import pickle as pkl_mod
+
+        net_state = {
+            "version": 4,
+            "static_kwargs": {
+                "latent_size": 8, "dlatent_size": 8, "resolution": 16,
+                "num_channels": 3, "mapping_layers": 2, "fmap_base": 32,
+                "fmap_max": 16, "architecture": "skip", "conv_clamp": 256,
+            },
+            "components": {},
+            "variables": list(tf_params.items()),
+        }
+
+        class FakeNetwork:
+            def __reduce__(self):
+                return (_tf_reconstruct, (net_state,))
+
+        mod = types.ModuleType("dnnlib.tflib.network")
+        mod.Network = _tf_reconstruct
+        pkg = types.ModuleType("dnnlib")
+        tfl = types.ModuleType("dnnlib.tflib")
+        sys.modules["dnnlib"] = pkg
+        sys.modules["dnnlib.tflib"] = tfl
+        sys.modules["dnnlib.tflib.network"] = mod
+        try:
+            p = str(tmp_path / "tf-network.pkl")
+            with open(p, "wb") as f:
+                pkl_mod.dump((FakeNetwork(), FakeNetwork(), FakeNetwork()),
+                             f)
+        finally:
+            for k in ("dnnlib", "dnnlib.tflib", "dnnlib.tflib.network"):
+                del sys.modules[k]
+
+        got_cfg, got_params, got_state = ckpt.convert_tf_generator_pkl(p)
+        assert got_cfg.img_resolution == 16
+        assert got_cfg.synthesis.architecture == "skip"
+        assert got_cfg.synthesis.color_format == "orig"
+        assert got_cfg.num_ws == cfg.num_ws
+
+        want_params, want_state = ckpt.convert_generator_state(flat, cfg)
+        for a, b in zip(jax.tree_util.tree_leaves(want_params),
+                        jax.tree_util.tree_leaves(got_params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6)
+        for k, v in want_state["noise"].items():
+            np.testing.assert_array_equal(np.asarray(v),
+                                          got_state["noise"][k])
+
+        # Converted generator runs end-to-end (orig skip trunk).
+        from brushstroke_engine_tpu.models.generator import generator_apply
+        z = jnp.asarray(np.random.RandomState(0).randn(2, 8), jnp.float32)
+        img, _, _ = generator_apply(got_cfg, got_params, got_state, z=z,
+                                    noise_mode="const")
+        assert img.shape == (2, 16, 16, 3)
+        assert np.isfinite(np.asarray(img)).all()
+
+
+def _tf_reconstruct(state):
+    # Stand-in global for dnnlib.tflib.network.Network; the stub unpickler
+    # must replace it with a passive record.
+    raise RuntimeError("should have been intercepted")
+
+
+_tf_reconstruct.__module__ = "dnnlib.tflib.network"
+_tf_reconstruct.__qualname__ = "Network"
