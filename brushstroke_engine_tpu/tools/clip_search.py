@@ -6,13 +6,18 @@ Rebuild of the reference CLIP tooling (forger/util/clip_util.py):
   * ClipStyleOptimizer (:146-284): optimize a style's W+ (+noise) against a
     text embedding with background-clarity and geometry-adherence terms.
 
-The vision/text backbone is pluggable (:class:`ClipBackbone`): pass a real
-CLIP port's encode functions when weights are available; the default
-``HashingBackbone`` is a deterministic random-projection embedder (words ->
-hashed bag-of-words -> unit sphere; images -> random conv features) so the
-whole search/optimization machinery runs and is testable without pretrained
-weights.  Rankings from the fallback are NOT semantically meaningful --
-swap in a real backbone for production search.
+The vision/text backbone is pluggable (:class:`ClipBackbone`) and every
+backbone carries a ``kind`` label that search outputs print:
+
+* :class:`CLIPBackbone` (``kind="clip"``): the REAL CLIP architecture
+  (:mod:`.clip_model` -- ViT image tower + causal text transformer +
+  byte-BPE tokenizer) fed by an OpenAI CLIP state dict; with pretrained
+  weights, text->style search is semantically meaningful.
+* :class:`HashingBackbone` (``kind="hashing"``): a deterministic
+  random-projection embedder (words -> hashed bag-of-words -> unit sphere;
+  images -> random conv features), the no-weights fallback so the whole
+  search/optimization machinery runs and is testable.  Rankings from it
+  are NOT semantically meaningful.
 """
 
 from __future__ import annotations
@@ -36,9 +41,11 @@ EMBED_DIM = 256
 
 class ClipBackbone:
     """Interface: encode_image([B,H,W,3] float [0,1]) -> [B, D] unit vecs;
-    encode_text(list[str]) -> [N, D] unit vectors."""
+    encode_text(list[str]) -> [N, D] unit vectors.  ``kind`` labels the
+    backbone in search outputs (semantic vs fallback)."""
 
     dim = EMBED_DIM
+    kind = "abstract"
 
     def encode_image(self, images) -> jnp.ndarray:
         raise NotImplementedError
@@ -47,8 +54,33 @@ class ClipBackbone:
         raise NotImplementedError
 
 
+class CLIPBackbone(ClipBackbone):
+    """The real CLIP model (tools/clip_model.py) over OpenAI weights."""
+
+    kind = "clip"
+
+    def __init__(self, weights_path: str, bpe_path: Optional[str] = None):
+        from brushstroke_engine_tpu.tools import clip_model as cm
+        self.cfg, self.params, self.tokenizer = cm.load_openai_clip(
+            weights_path, bpe_path)
+        self.dim = self.cfg.embed_dim
+        self._cm = cm
+
+    def encode_image(self, images) -> jnp.ndarray:
+        return self._cm.encode_image(self.cfg, self.params, images)
+
+    def encode_text(self, texts: List[str]) -> jnp.ndarray:
+        assert self.tokenizer is not None, \
+            "text encoding needs the BPE merges file (bpe_path)"
+        return self._cm.encode_text(self.cfg, self.params,
+                                    self.tokenizer(texts))
+
+
 class HashingBackbone(ClipBackbone):
-    """Deterministic fallback backbone (no pretrained weights needed)."""
+    """Deterministic fallback backbone (no pretrained weights needed);
+    NOT semantic -- see module docstring."""
+
+    kind = "hashing"
 
     def __init__(self, seed: int = 0, dim: int = EMBED_DIM):
         self.dim = dim

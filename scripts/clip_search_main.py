@@ -30,6 +30,13 @@ def main():
     ap.add_argument("--output_dir", required=True)
     ap.add_argument("--dictionary", default=None,
                     help="Existing feature-dictionary pkl to reuse.")
+    ap.add_argument("--clip_weights", default=None,
+                    help="OpenAI CLIP state-dict .pt for the REAL backbone "
+                         "(semantic search); omit for the labeled "
+                         "non-semantic hashing fallback.")
+    ap.add_argument("--clip_bpe", default=None,
+                    help="CLIP BPE merges file "
+                         "(bpe_simple_vocab_16e6.txt[.gz]).")
     args = ap.parse_args()
     logging.basicConfig(level=logging.INFO)
 
@@ -39,7 +46,7 @@ def main():
     from brushstroke_engine_tpu.engine.library import BrushLibrary
     from brushstroke_engine_tpu.tools.clip_search import (
         FeatureDictionary, ClipStyleOptimizer, ClipOptConfig,
-        HashingBackbone,
+        CLIPBackbone, HashingBackbone,
     )
     from brushstroke_engine_tpu.tools.latent import ws_for_seeds
     from brushstroke_engine_tpu.data.curves import random_spline_stroke
@@ -49,7 +56,13 @@ def main():
     engine = PaintEngineFactory.create(
         args.gan_checkpoint, encoder_checkpoint=args.encoder_checkpoint)
     lib = BrushLibrary.from_arg(args.library, z_dim=engine.gen_cfg.z_dim)
-    backbone = HashingBackbone(0)
+    if args.clip_weights:
+        backbone = CLIPBackbone(args.clip_weights, args.clip_bpe)
+    else:
+        backbone = HashingBackbone(0)
+    print(f"Backbone kind: {backbone.kind}" + (
+        "" if backbone.kind == "clip" else
+        " (NOT semantic -- pass --clip_weights for real search)"))
 
     os.makedirs(args.output_dir, exist_ok=True)
     dict_path = args.dictionary or os.path.join(args.output_dir,
@@ -62,7 +75,8 @@ def main():
         d.save(dict_path)
 
     results = d.get_top_results(args.query, k=args.top_k)
-    print("Top styles for query %r:" % args.query)
+    print("Top styles for query %r (backbone=%s):"
+          % (args.query, backbone.kind))
     for style_id, score in results:
         print(f"  {style_id}: {score:.4f}")
 
