@@ -58,8 +58,9 @@ class LPIPSModel:
                 "bias": np.zeros((cout,), np.float32),
             })
             cin = cout
-        lins = [np.ones((c,), np.float32) / np.sqrt(c)
-                for (c, *_rest) in _ALEX_PLAN]
+        # Raw-application semantics (see lpips_pair): 1/c keeps the
+        # per-layer contribution scale of the previous fallback.
+        lins = [np.ones((c,), np.float32) / c for (c, *_rest) in _ALEX_PLAN]
         return LPIPSModel(convs=convs, lins=lins)
 
     @staticmethod
@@ -141,7 +142,9 @@ def lpips_pair(x, y, model: Optional[LPIPSModel] = None):
     fy = _features(model, y.astype(jnp.float32))
     total = 0.0
     for f1, f2, lin in zip(fx, fy, model.lins):
-        d = jnp.square(f1 - f2) * jnp.square(jnp.asarray(lin))[None, None, None, :]
+        # The lpips package applies the calibration weights RAW (a 1x1
+        # conv over the squared diff, NetLinLayer), not squared.
+        d = jnp.square(f1 - f2) * jnp.asarray(lin)[None, None, None, :]
         total = total + jnp.mean(jnp.sum(d, axis=-1), axis=(1, 2))
     return total
 

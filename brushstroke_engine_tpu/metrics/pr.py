@@ -98,6 +98,13 @@ class VGG16Features:
         fcs = []
         for i in (0, 3):
             w = np.asarray(state[f"classifier.{i}.weight"])     # [out, in]
+            if i == 0:
+                # torch flattens the 7x7x512 pool as (C, H, W); our NHWC
+                # extractor flattens (H, W, C) -> permute the input dim.
+                out_f = w.shape[0]
+                c = w.shape[1] // 49
+                w = w.reshape(out_f, c, 7, 7).transpose(0, 2, 3, 1) \
+                    .reshape(out_f, -1)
             fcs.append({
                 "weight": w.T.astype(np.float32),
                 "bias": np.asarray(state[f"classifier.{i}.bias"],
