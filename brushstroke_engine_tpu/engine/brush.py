@@ -168,9 +168,23 @@ class GanPaintEngine(PaintEngine):
         self.render_modes = {"clear", "full"}
         self.render_mode = "clear"
 
+        # Multi-chip serving: when set, render_batch shards the request
+        # batch over this 1-axis mesh (see set_serving_mesh).
+        self.serving_mesh = None
+        self._mesh_params = None
+
         # Imported lazily to avoid a cycle (mapper renders via this engine).
         from brushstroke_engine_tpu.engine.mapper import StyleUVSMapper
         self.uvs_mapper = StyleUVSMapper(self)
+
+    def set_serving_mesh(self, mesh):
+        """Shard batched serving renders over a 1-axis ``jax.sharding.Mesh``
+        (data parallelism over the cross-session request batch: with N
+        chips and M concurrent painters, each chip renders ~M/N patches
+        per flush).  Parameters are replicated across the mesh once and
+        cached.  Pass ``None`` to restore single-device dispatch."""
+        self.serving_mesh = mesh
+        self._mesh_params = None
 
     def set_render_mode(self, mode):
         if mode not in self.render_modes:
@@ -273,17 +287,58 @@ class GanPaintEngine(PaintEngine):
                 override[i] = ov[0]
                 mask[i, 0] = mk[0, 0]
 
+        gp, gs, ep, es = (self.gen_params, self.gen_state,
+                          self.enc_params, self.enc_state)
+        to_dev = jnp.asarray
+        n_pad = 0
+        if self.serving_mesh is not None:
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            mesh = self.serving_mesh
+            axis = mesh.axis_names[0]
+            n_pad = (-b) % mesh.shape[axis]
+            if n_pad:
+                def pad_rows(a):
+                    a = np.asarray(a)
+                    return np.concatenate(
+                        [a, np.repeat(a[-1:], n_pad, axis=0)])
+
+                geoms = pad_rows(geoms)
+                style = pad_rows(style)
+                ws = style if use_ws else None
+                z = None if use_ws else style
+                if positions is not None:
+                    positions = pad_rows(positions)
+                override = pad_rows(override)
+                mask = pad_rows(mask)
+                if blended_features:
+                    blended_features = {
+                        r: (pad_rows(f), pad_rows(a))
+                        for r, (f, a) in blended_features.items()}
+            batch_sh = NamedSharding(mesh, P(axis))
+            to_dev = lambda a: jax.device_put(np.asarray(a), batch_sh)
+            if self._mesh_params is None:
+                self._mesh_params = jax.device_put(
+                    (gp, gs, ep, es), NamedSharding(mesh, P()))
+            gp, gs, ep, es = self._mesh_params
+            if blended_features:
+                blended_features = {
+                    r: (to_dev(f), to_dev(a))
+                    for r, (f, a) in blended_features.items()}
+
         out = render_core(
             self.gen_cfg, self.enc_cfg, self.enc_res, self.render_mode,
             tuple(return_features), self.color_format,
-            self.gen_params, self.gen_state, self.enc_params, self.enc_state,
-            jnp.asarray(geoms),
-            None if z is None else jnp.asarray(z),
-            None if ws is None else jnp.asarray(ws),
-            None if positions is None else jnp.asarray(positions),
+            gp, gs, ep, es,
+            to_dev(geoms),
+            None if z is None else to_dev(z),
+            None if ws is None else to_dev(ws),
+            None if positions is None else to_dev(positions),
             None,
-            jnp.asarray(override), jnp.asarray(mask),
+            to_dev(override), to_dev(mask),
             blended_features, None)
+        if n_pad:
+            out = {k: v[:b] for k, v in out.items()}
         return out
 
     def _render_stroke_jax(self, geom, canvas, opts, **generator_kwargs):

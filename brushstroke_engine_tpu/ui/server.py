@@ -558,6 +558,10 @@ def run_main(argv=None):
                          "requests from all sessions for this many ms and "
                          "render them as one device dispatch (0 = off). "
                          "Recommended 5-15 ms for multi-user serving.")
+    ap.add_argument("--serve_devices", type=int, default=0,
+                    help="Shard cross-session batched renders over this "
+                         "many local devices (multi-chip serving; 0 = "
+                         "single device). Use with --batch_window_ms.")
     ap.add_argument("--no_warmup", action="store_true",
                     help="Skip pre-compiling the render programs at "
                          "startup (first stroke then pays the compile).")
@@ -574,6 +578,15 @@ def run_main(argv=None):
         library_specs=parse_libraries(args.libraries),
         use_device_canvas=args.device_canvas,
         batch_window_ms=args.batch_window_ms)
+    if args.serve_devices > 1:
+        import jax
+        from jax.sharding import Mesh
+        devices = jax.devices()[:args.serve_devices]
+        assert len(devices) == args.serve_devices, \
+            f"need {args.serve_devices} devices, have {len(jax.devices())}"
+        server.paint_engine.set_serving_mesh(
+            Mesh(np.asarray(devices), ("data",)))
+        logger.info(f"Sharding batched renders over {len(devices)} devices")
     if not args.no_warmup:
         # Bucket 1 matters: a single painter with batching on renders
         # through render_batch (a different program than the per-request

@@ -219,3 +219,37 @@ def test_sharded_canvas_stylize_rejects_bad_batch():
         stylize_image_ondevice(eng, geom, opts, overlap_margin=4,
                                feature_blending_level=1, batch_size=6,
                                mesh=make_mesh())
+
+
+def test_serving_render_batch_sharded_matches_single_device():
+    """Multi-chip serving: render_batch with a serving mesh (batch sharded
+    over 8 devices, padded to the mesh size) matches the single-device
+    result row for row."""
+    from tests.helpers import small_bundle, make_engine
+    from brushstroke_engine_tpu.engine.brush import GanBrushOptions
+
+    eng = make_engine(small_bundle())
+    pw = eng.patch_width
+    rng = np.random.RandomState(0)
+
+    def requests(n):
+        geoms = (rng.rand(n, pw, pw, 1) > 0.5).astype(np.float32)
+        opts = []
+        for i in range(n):
+            o = GanBrushOptions()
+            o.set_style(eng.random_style(i), i)
+            o.set_position(8 * i, 4 * i)
+            opts.append(o)
+        return geoms, opts
+
+    for n in (3, 8):  # 3 exercises padding to the mesh size
+        geoms, opts = requests(n)
+        want = np.asarray(eng.render_batch(geoms, opts)["rgba"])
+
+        eng.set_serving_mesh(make_mesh())
+        try:
+            got = np.asarray(eng.render_batch(geoms, opts)["rgba"])
+        finally:
+            eng.set_serving_mesh(None)
+        assert got.shape == (n, pw, pw, 4)
+        np.testing.assert_allclose(got, want, atol=2e-5)
