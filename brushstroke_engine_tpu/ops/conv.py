@@ -103,13 +103,17 @@ def conv2d_resample(x, w, f=None, up: int = 1, down: int = 1, padding=0,
 
     if up > 1:
         # Dense conv over the zero-dilated input (= transposed conv), then the
-        # FIR smoothing filter with gain up^2 (and optional down).
+        # FIR smoothing filter with gain up^2.  When down>1 the reference runs
+        # a SECOND zero-padding FIR pass for anti-aliasing
+        # (conv2d_resample.py:143-145) rather than fusing down into the first.
         x = _dense_conv(
             x, w,
             padding=((py0, py1 + up - 1), (px0, px1 + up - 1)),
             lhs_dilation=(up, up),
             groups=groups)
-        x = upfirdn2d(x, f, down=down, gain=up ** 2, flip_filter=flip_filter)
+        x = upfirdn2d(x, f, gain=up ** 2, flip_filter=flip_filter)
+        if down > 1:
+            x = upfirdn2d(x, f, down=down, flip_filter=flip_filter)
         return x
 
     if down > 1:

@@ -225,7 +225,14 @@ def infer_generator_config(flat: Dict[str, np.ndarray],
     w_dim = int(flat[f"mapping.fc{mapping_layers - 1}.weight"].shape[0])
 
     color_format = args.get("color_format", "triad")
-    color_w_channels = int(args.get("color_w_channels", 0) or 0)
+    # Prefer the weight layout over args: a separate color_affine FC exists
+    # iff color_w_channels > 0 (reference networks.py:424-431) and its input
+    # width IS color_w_channels.
+    color_key = f"synthesis.b{img_resolution}.torgb.color_affine.weight"
+    if color_key in flat:
+        color_w_channels = int(flat[color_key].shape[1])
+    else:
+        color_w_channels = int(args.get("color_w_channels", 0) or 0)
 
     # Channel plan from conv1 weights: [O, I, k, k] per block.
     chan = {res: int(flat[f"synthesis.b{res}.conv1.weight"].shape[0])
@@ -254,6 +261,74 @@ def infer_generator_config(flat: Dict[str, np.ndarray],
         color_format=color_format, color_w_channels=color_w_channels,
         channel_base=channel_base, channel_max=channel_max,
         mapping_layers=mapping_layers)
+
+
+# ---------------------------------------------------------------------------
+# Discriminator conversion
+# ---------------------------------------------------------------------------
+
+def infer_discriminator_config(flat: Dict[str, np.ndarray],
+                               args: Dict[str, Any]):
+    """Derive a DiscriminatorConfig from a reference D state dict
+    (reference networks.py:957-1007 layout: b{res}.{fromrgb,conv0,conv1,skip},
+    b4.{conv,fc,out}, optional mapping.*)."""
+    from brushstroke_engine_tpu.models.discriminator import DiscriminatorConfig
+    resolutions = sorted({int(k.split(".")[0][1:]) for k in flat
+                          if k.startswith("b") and k.split(".")[0][1:].isdigit()})
+    img_resolution = resolutions[-1]
+    img_channels = int(flat[f"b{img_resolution}.fromrgb.weight"].shape[1])
+    chan = {res: int(flat[f"b{res}.conv0.weight"].shape[0])
+            for res in resolutions if res > 4}
+    chan[4] = int(flat["b4.conv.weight"].shape[0])
+    channel_max = max(chan.values())
+    channel_base = max(c * r for r, c in chan.items())
+    mbstd_num = int(flat["b4.conv.weight"].shape[1]) - chan[4]
+    arch = "resnet" if any(".skip." in k for k in flat) else "orig"
+    c_dim = int(args.get("c_dim", 0) or 0)
+    return DiscriminatorConfig(
+        c_dim=c_dim, img_resolution=img_resolution, img_channels=img_channels,
+        architecture=arch, channel_base=channel_base, channel_max=channel_max,
+        mbstd_num_channels=mbstd_num,
+        conv_clamp=args.get("conv_clamp", 256.0))
+
+
+def convert_discriminator_state(flat: Dict[str, np.ndarray], cfg):
+    """Reference D state dict -> our discriminator params pytree."""
+    def conv(prefix):
+        p = {"weight": conv_from_torch(flat[prefix + ".weight"])}
+        if prefix + ".bias" in flat:
+            p["bias"] = flat[prefix + ".bias"]
+        return p
+
+    params = {}
+    for res in cfg.block_resolutions:
+        block = {}
+        if res == cfg.img_resolution or f"b{res}.fromrgb.weight" in flat:
+            block["fromrgb"] = conv(f"b{res}.fromrgb")
+        block["conv0"] = conv(f"b{res}.conv0")
+        block["conv1"] = conv(f"b{res}.conv1")
+        if f"b{res}.skip.weight" in flat:
+            block["skip"] = conv(f"b{res}.skip")
+        params[f"b{res}"] = block
+    ch4 = cfg.channels(4)
+    params["b4"] = {
+        "conv": conv("b4.conv"),
+        "fc": {"weight": epilogue_fc_from_torch(flat["b4.fc.weight"], ch4,
+                                                res=4),
+               "bias": flat["b4.fc.bias"]},
+        "out": fc_from_torch(flat, "b4.out"),
+    }
+    if any(k.startswith("mapping.") for k in flat):
+        # conditional D: embed + fc stack, same MappingNetwork layout
+        m = {}
+        if "mapping.embed.weight" in flat:
+            m["embed"] = fc_from_torch(flat, "mapping.embed")
+        i = 0
+        while f"mapping.fc{i}.weight" in flat:
+            m[f"fc{i}"] = fc_from_torch(flat, f"mapping.fc{i}")
+            i += 1
+        params["mapping"] = m
+    return params
 
 
 # ---------------------------------------------------------------------------
