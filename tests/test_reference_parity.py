@@ -26,6 +26,7 @@ import sys
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from brushstroke_engine_tpu import ops
@@ -61,6 +62,17 @@ def _import_ref_stitching():
         tv.transforms = types.ModuleType("torchvision.transforms")
         sys.modules["torchvision"] = tv
         sys.modules["torchvision.transforms"] = tv.transforms
+    if "lpips" not in sys.modules:
+        # forger.metrics.geom_metric imports lpips at module level but only
+        # instantiates it inside the lpips-based metrics we don't exercise.
+        lp = types.ModuleType("lpips")
+
+        class _Unavailable:
+            def __init__(self, *a, **k):
+                raise RuntimeError("lpips package unavailable in this env")
+
+        lp.LPIPS = _Unavailable
+        sys.modules["lpips"] = lp
     return _import_ref("forger.train.stitching")
 
 
@@ -236,7 +248,7 @@ def _write_reference_snapshot(path, G, enc):
     (training_loop_modified.py snapshot block / brush.py:588-590)."""
     snapshot = {
         "G_ema": G,   # @persistent_class: pickles via _reconstruct_persistent_obj
-        "args": {"color_format": "triad", "geom_inject_resolutions": (0,)},
+        "args": {"color_format": "triad", "geom_inject_resolutions": [0]},
         "encoder": {
             "model_state": {k: v for k, v in enc.state_dict().items()},
             "args": _Ns(ENC_ARGS),
@@ -388,3 +400,342 @@ class TestReferenceEncoderParity:
             bundle.gen_cfg, bundle.gen_params, bundle.gen_state,
             z=jnp.asarray(z), geom_features=feats, noise_mode="const")
         np.testing.assert_allclose(_nchw(img), want, rtol=1e-3, atol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# (d) ForgerLoss scalar parity on a fixed batch (loss_modified.py:140-245).
+# ---------------------------------------------------------------------------
+
+GEOM_LOSSES = "1.0*iou_inv(uvs)+1.0*iou(u)"   # train_flags.txt defaults
+MAIN_LOSSES = "1.0*iou_inv(uvs)+0.7*dice(u)"
+
+
+def _build_reference_discriminator():
+    nets = _import_ref("training.networks")
+    torch.manual_seed(7)
+    return nets.Discriminator(
+        c_dim=0, img_resolution=RES, img_channels=3, architecture="resnet",
+        channel_base=1024, channel_max=64, num_fp16_res=0, conv_clamp=256,
+        epilogue_kwargs=dict(mbstd_group_size=4)).eval()
+
+
+@pytest.fixture(scope="module")
+def loss_setup(ref_models):
+    """Reference ForgerLoss + converted D on the same weights."""
+    G, enc, bundle = ref_models
+    from brushstroke_engine_tpu.utils.torch_extract import flatten_module_state
+    D = _build_reference_discriminator()
+    flat_d = {k: v.detach().numpy() for k, v in D.state_dict().items()}
+    d_cfg = ckpt.infer_discriminator_config(flat_d, {"conv_clamp": 256.0})
+    d_params = ckpt.convert_discriminator_state(flat_d, d_cfg)
+
+    _import_ref_stitching()
+    lm = _import_ref("training.loss_modified")
+    fl = lm.ForgerLoss(
+        device="cpu", G=G, D=D, geom_encoder=None, stitcher=None,
+        augment_pipe=None, style_mixing_prob=0, r1_gamma=10,
+        geom_phase_losses=GEOM_LOSSES, main_phase_losses=MAIN_LOSSES,
+        geom_warmstart_losses=None, stitch_phase_losses="")
+
+    rng = np.random.RandomState(30)
+    batch = dict(
+        z=rng.randn(4, ZDIM).astype(np.float32),
+        geom8=rng.randn(4, GEOM_CH, 8, 8).astype(np.float32),
+        real=np.tanh(rng.randn(4, 3, RES, RES)).astype(np.float32),
+        geom=(rng.rand(4, 1, RES, RES) > 0.5).astype(np.float32),
+    )
+    return fl, D, d_cfg, d_params, batch
+
+
+def _capture_stats(monkeypatch):
+    lm = _import_ref("training.loss_modified")
+    captured = {}
+
+    def fake_report(name, value):
+        captured[name] = np.asarray(
+            value.detach().numpy() if hasattr(value, "detach") else value)
+        return value
+
+    monkeypatch.setattr(lm.training_stats, "report", fake_report)
+    return captured
+
+
+def _run_ref_phase(fl, batch, phase, monkeypatch):
+    for net in (fl.G, fl.D):
+        net.requires_grad_(True)
+    captured = _capture_stats(monkeypatch)
+    fl.accumulate_gradients(
+        phase=phase,
+        real_style=torch.from_numpy(batch["real"]),
+        real_c=torch.zeros(4, 0), real_geom=torch.from_numpy(batch["geom"]),
+        geom_feature=[torch.from_numpy(batch["geom8"])],
+        gen_z=torch.from_numpy(batch["z"]), gen_c=torch.zeros(4, 0),
+        sync=False, gain=1.0)
+    return captured
+
+
+class TestForgerLossParity:
+    def _my_fake(self, bundle, batch, with_debug=True):
+        img, dd, _ = generator_apply(
+            bundle.gen_cfg, bundle.gen_params, bundle.gen_state,
+            z=jnp.asarray(batch["z"]),
+            geom_features=[jnp.asarray(_nhwc(batch["geom8"]))],
+            noise_mode="const", return_debug_data=with_debug)
+        return img, dd
+
+    def test_dmain_scalar_parity(self, ref_models, loss_setup, monkeypatch):
+        from brushstroke_engine_tpu.models.discriminator import (
+            discriminator_apply)
+        _G, _enc, bundle = ref_models
+        fl, _D, d_cfg, d_params, batch = loss_setup
+        cap = _run_ref_phase(fl, batch, "Dmain", monkeypatch)
+
+        img, _ = self._my_fake(bundle, batch, with_debug=True)
+        fake_logits = discriminator_apply(d_cfg, d_params, img)
+        real_logits = discriminator_apply(
+            d_cfg, d_params, jnp.asarray(_nhwc(batch["real"])))
+        loss = (jax.nn.softplus(fake_logits)
+                + jax.nn.softplus(-real_logits))
+        np.testing.assert_allclose(
+            np.mean(np.asarray(fake_logits)), cap["Loss/scores/fake"].mean(),
+            rtol=2e-3, atol=2e-3)
+        np.testing.assert_allclose(
+            np.mean(np.asarray(real_logits)), cap["Loss/scores/real"].mean(),
+            rtol=2e-3, atol=2e-3)
+        np.testing.assert_allclose(
+            np.mean(np.asarray(loss)), cap["Loss/D/loss"].mean(),
+            rtol=2e-3, atol=2e-3)
+
+    def test_dr1_penalty_parity(self, ref_models, loss_setup, monkeypatch):
+        from brushstroke_engine_tpu.models.discriminator import (
+            discriminator_apply)
+        _G, _enc, bundle = ref_models
+        fl, _D, d_cfg, d_params, batch = loss_setup
+        cap = _run_ref_phase(fl, batch, "Dreg", monkeypatch)
+
+        def logit_sum(img):
+            return jnp.sum(discriminator_apply(d_cfg, d_params, img,
+                                               force_fp32=True))
+        grads = jax.grad(logit_sum)(jnp.asarray(_nhwc(batch["real"])))
+        penalty = jnp.sum(jnp.square(grads), axis=(1, 2, 3))
+        np.testing.assert_allclose(
+            np.asarray(penalty), cap["Loss/r1_penalty"].reshape(-1),
+            rtol=5e-3, atol=5e-4)
+
+    def test_gmain_total_parity(self, ref_models, loss_setup, monkeypatch):
+        from brushstroke_engine_tpu.models.discriminator import (
+            discriminator_apply)
+        from brushstroke_engine_tpu.train.losses import ForgerLosses
+        _G, _enc, bundle = ref_models
+        fl, _D, d_cfg, d_params, batch = loss_setup
+        cap = _run_ref_phase(fl, batch, "Gmain", monkeypatch)
+
+        img, dd = self._my_fake(bundle, batch)
+        gen_logits = discriminator_apply(d_cfg, d_params, img)
+        gan = jnp.mean(jax.nn.softplus(-gen_logits))
+        np.testing.assert_allclose(
+            float(gan), cap["Loss/G/loss"].mean(), rtol=2e-3, atol=2e-3)
+
+        forger_total, _vals = ForgerLosses.create_from_string(
+            MAIN_LOSSES).compute(dd, jnp.asarray(_nhwc(batch["geom"])))
+        np.testing.assert_allclose(
+            float(forger_total), cap["Loss/forger/Gmain/total"].mean(),
+            rtol=2e-3, atol=2e-4)
+
+    def test_ggeom_phase_parity(self, ref_models, loss_setup, monkeypatch):
+        from brushstroke_engine_tpu.train.losses import ForgerLosses
+        _G, _enc, bundle = ref_models
+        fl, _D, _d_cfg, _d_params, batch = loss_setup
+        cap = _run_ref_phase(fl, batch, "Ggeom", monkeypatch)
+
+        _img, dd = self._my_fake(bundle, batch)
+        _total, vals = ForgerLosses.create_from_string(
+            GEOM_LOSSES).compute(dd, jnp.asarray(_nhwc(batch["geom"])))
+        ref_vals = {k.rsplit("/", 1)[-1]: v for k, v in cap.items()
+                    if k.startswith("Loss/forger/Ggeom/")}
+        assert set(vals) <= set(ref_vals), (sorted(vals), sorted(ref_vals))
+        for name, mine in vals.items():
+            np.testing.assert_allclose(
+                float(mine), ref_vals[name].mean(), rtol=2e-3, atol=2e-4,
+                err_msg=name)
+
+    def test_gpl_penalty_parity(self, ref_models, loss_setup, monkeypatch):
+        """Path-length reg with DETERMINISTIC pl_noise injected both sides."""
+        from brushstroke_engine_tpu.models.mapping import mapping_apply
+        _G, _enc, bundle = ref_models
+        fl, _D, _d_cfg, _d_params, batch = loss_setup
+        b = 4 // fl.pl_batch_shrink
+        rng = np.random.RandomState(40)
+        pl_noise = rng.randn(b, 3, RES, RES).astype(np.float32) / RES
+
+        lm = _import_ref("training.loss_modified")
+        monkeypatch.setattr(
+            lm.torch, "randn_like",
+            lambda t: torch.from_numpy(pl_noise * RES))
+        cap = _run_ref_phase(fl, batch, "Greg", monkeypatch)
+
+        cfg = bundle.gen_cfg
+        ws, _ = mapping_apply(cfg.mapping, bundle.gen_params["mapping"],
+                              jnp.asarray(batch["z"][:b]))
+
+        def outp(ws_in):
+            img, _, _ = generator_apply(
+                cfg, bundle.gen_params, bundle.gen_state, ws=ws_in,
+                geom_features=[jnp.asarray(_nhwc(batch["geom8"][:b]))],
+                noise_mode="const")
+            return jnp.sum(img * jnp.asarray(_nhwc(pl_noise)))
+
+        pl_grads = jax.grad(outp)(ws)
+        pl_lengths = jnp.sqrt(
+            jnp.mean(jnp.sum(jnp.square(pl_grads), axis=2), axis=1))
+        pl_mean = 0.0 + fl.pl_decay * (jnp.mean(pl_lengths) - 0.0)
+        penalty = jnp.square(pl_lengths - pl_mean)
+        np.testing.assert_allclose(
+            np.asarray(penalty), cap["Loss/pl_penalty"].reshape(-1),
+            rtol=5e-3, atol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# (e) Paint-engine tile parity: the reference TriadGanPaintEngine loaded from
+# the SAME snapshot pkl vs our engine on the converted bundle
+# (reference brush.py:244,683-805).
+# ---------------------------------------------------------------------------
+
+def _import_ref_brush():
+    """forger.ui.brush needs torchvision/lpips/skimage; stub the missing ones
+    (only debug/save paths touch them)."""
+    import types
+    _import_ref_stitching()
+    if "skimage" not in sys.modules:
+        from PIL import Image
+        sk = types.ModuleType("skimage")
+        skio = types.ModuleType("skimage.io")
+        skio.imread = lambda p: np.asarray(Image.open(p))
+        skio.imsave = lambda p, a: Image.fromarray(np.asarray(a)).save(p)
+        sk.io = skio
+        sys.modules["skimage"] = sk
+        sys.modules["skimage.io"] = skio
+    return _import_ref("forger.ui.brush")
+
+
+@pytest.fixture(scope="module")
+def engine_snapshot(ref_models, tmp_path_factory):
+    """Full training-snapshot layout (G/D/G_ema + EasyDict args + encoder),
+    loadable by the reference's own legacy.load_network_pkl."""
+    G, enc, _bundle = ref_models
+    D = _build_reference_discriminator()
+    dnnlib = _import_ref("dnnlib")
+    snapshot = {
+        "G": G, "D": D, "G_ema": G,
+        "training_set_kwargs": None, "augment_pipe": None,
+        "args": dnnlib.EasyDict(color_format="triad",
+                                geom_inject_resolutions=[0]),
+        "encoder": {
+            "model_state": {k: v for k, v in enc.state_dict().items()},
+            "args": _Ns(ENC_ARGS),
+        },
+    }
+    path = str(tmp_path_factory.mktemp("fullsnap") / "network-snapshot.pkl")
+    with open(path, "wb") as f:
+        pickle.dump(snapshot, f)
+    return path
+
+
+@pytest.fixture(scope="module")
+def engines(engine_snapshot):
+    rb = _import_ref_brush()
+    ref_eng = rb.PaintEngineFactory.create(engine_snapshot, device="cpu")
+    from brushstroke_engine_tpu.engine.brush import PaintEngineFactory
+    my_eng = PaintEngineFactory.create(engine_snapshot)
+    assert ref_eng.patch_width == my_eng.patch_width == RES
+    return rb, ref_eng, my_eng
+
+
+def _stroke_patch():
+    """Deterministic curve-ish RGBA stroke patch (opaque alpha = FG)."""
+    patch = np.zeros((RES, RES, 4), np.uint8)
+    yy = (np.sin(np.linspace(0, np.pi, RES)) * (RES - 8) + 4).astype(int)
+    for x, y in enumerate(yy):
+        patch[max(0, y - 2):y + 2, x, 3] = 255
+    return patch
+
+
+class TestPaintEngineParity:
+    def _opts_pair(self, rb, seed=5):
+        z = np.random.RandomState(seed).randn(1, ZDIM).astype(np.float32)
+        opts_ref = rb.GanBrushOptions()
+        opts_ref.set_style(torch.from_numpy(z))
+        from brushstroke_engine_tpu.engine.brush import GanBrushOptions
+        opts_my = GanBrushOptions()
+        opts_my.set_style(z)
+        return opts_ref, opts_my
+
+    @staticmethod
+    def _ref_render(ref_eng, patch, opts, **kw):
+        """Reference engine-level render.  GanPaintEngine.render_stroke's own
+        shape assert (brush.py:693) is broken for its [1,1,W,W] geom -- the
+        production path (PaintingHelper, brush.py:302-312) calls
+        _render_stroke_torch directly, so do the same + its uint8 postproc."""
+        geom = ref_eng.prepare_geom_input(patch)
+        with torch.no_grad():
+            res, _raw, dbg = ref_eng._render_stroke_torch(geom, None, opts,
+                                                          **kw)
+        res = (res.detach().squeeze(0).permute(1, 2, 0) * 255).cpu()\
+            .clip(0, 255).to(torch.uint8).numpy()
+        return np.ascontiguousarray(res), dbg
+
+    def test_render_stroke_clear_mode(self, engines):
+        rb, ref_eng, my_eng = engines
+        patch = _stroke_patch()
+        opts_ref, opts_my = self._opts_pair(rb)
+        want, _ = self._ref_render(ref_eng, patch, opts_ref)
+        got, _ = my_eng.render_stroke(patch, None, opts_my)
+        assert want.shape == got.shape == (RES, RES, 4)
+        assert want.dtype == got.dtype == np.uint8
+        # uint8 quantization of two fp32 pipelines: allow 1 level + stragglers
+        diff = np.abs(want.astype(int) - got.astype(int))
+        assert np.mean(diff <= 1) > 0.999, np.max(diff)
+
+    def test_render_stroke_full_mode_user_colors(self, engines):
+        rb, ref_eng, my_eng = engines
+        patch = _stroke_patch()
+        opts_ref, opts_my = self._opts_pair(rb, seed=6)
+        color = np.asarray([250, 30, 60], np.uint8)
+        opts_ref.set_color(0, torch.from_numpy(color))
+        opts_my.set_color(0, color)
+        ref_eng.set_render_mode("full")
+        my_eng.set_render_mode("full")
+        try:
+            want, _ = self._ref_render(ref_eng, patch, opts_ref)
+            got, _ = my_eng.render_stroke(patch, None, opts_my)
+        finally:
+            ref_eng.set_render_mode("clear")
+            my_eng.set_render_mode("clear")
+        diff = np.abs(want.astype(int) - got.astype(int))
+        assert np.mean(diff <= 1) > 0.999, np.max(diff)
+
+    def test_painting_helper_tile_parity(self, engines):
+        """One stroke through the reference PaintingHelper (brush.py:244)
+        vs ours on the same canvas area: full canvas-update semantics."""
+        rb, ref_eng, my_eng = engines
+        from brushstroke_engine_tpu.engine.canvas import PaintingHelper
+        patch = _stroke_patch()
+        opts_ref, opts_my = self._opts_pair(rb, seed=7)
+
+        helper_ref = rb.PaintingHelper(ref_eng)
+        helper_ref.make_new_canvas(128, 128, feature_blending=0)
+        meta = {"x": 17, "y": 23}
+        with torch.no_grad():
+            want, _dbg, meta_ref = helper_ref.render_stroke(
+                patch, np.zeros((RES, RES, 4), np.uint8), opts_ref,
+                meta=dict(meta))
+
+        helper_my = PaintingHelper(my_eng)
+        helper_my.make_new_canvas(128, 128, feature_blending=0)
+        got, _dbg2, meta_my = helper_my.render_stroke(
+            patch, np.zeros((RES, RES, 4), np.uint8), opts_my,
+            meta=dict(meta))
+        assert meta_ref == meta_my
+        assert want.shape == got.shape
+        diff = np.abs(want.astype(int) - got.astype(int))
+        assert np.mean(diff <= 1) > 0.995, np.max(diff)
