@@ -80,6 +80,13 @@ class TrainingLoop:
         # all-reduce over ICI from the input shardings alone (replaces the
         # reference's DDP wrappers, training_loop_modified.py:240-252).
         self.mesh = mesh
+        # Multi-host: rank/num_ranks shard the input pipeline per process
+        # (SURVEY 2.12; replaces the reference's rank-aware InfiniteSampler +
+        # process-group init, train.py:523-530).  Single-process runs get
+        # (0, 1) and behave exactly as before.
+        from brushstroke_engine_tpu.parallel.distributed import \
+            host_shard_info
+        self.rank, self.num_ranks = host_shard_info()
         if mesh is not None:
             from brushstroke_engine_tpu.parallel.mesh import replicate
             n = mesh.devices.size
@@ -112,12 +119,18 @@ class TrainingLoop:
         # TensorBoard events beside stats.jsonl (reference loop :318-346;
         # wandb's sync_tensorboard reads the same files).  Soft dependency.
         self.tb_writer = None
-        try:
-            from torch.utils.tensorboard import SummaryWriter
-            self.tb_writer = SummaryWriter(log_dir=run_dir)
-        except Exception:
-            logger.info("TensorBoard unavailable; writing stats.jsonl only")
+        if self.rank == 0:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self.tb_writer = SummaryWriter(log_dir=run_dir)
+            except Exception:
+                logger.info(
+                    "TensorBoard unavailable; writing stats.jsonl only")
         self._last_stats: Dict[str, float] = {}
+        # Eval-hook failure counters, surfaced into tick stats as
+        # Eval/<name>_failures so a silently-broken metric/viz path shows up
+        # in stats.jsonl instead of only as a log warning.
+        self.hook_failure_counts: Dict[str, int] = {}
         if auto_resume and resume_state is None:
             self.load_train_state()
 
@@ -128,12 +141,32 @@ class TrainingLoop:
         return sub
 
     def _data(self, x):
-        """Device-put a batch array, sharded over the mesh if present."""
-        x = jnp.asarray(x)
-        if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            x = jax.device_put(x, NamedSharding(self.mesh, P("data")))
-        return x
+        """Device-put a batch array, sharded over the mesh if present.
+
+        Multi-host: ``x`` is this PROCESS'S shard of the global batch
+        (rank-sliced rows); the global jax.Array is assembled from the
+        process-local data so the jitted step sees one batch sharded over
+        every host's devices.
+        """
+        if self.mesh is None:
+            return jnp.asarray(x)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sharding = NamedSharding(self.mesh, P("data"))
+        if self.num_ranks > 1:
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(x))
+        return jax.device_put(jnp.asarray(x), sharding)
+
+    def _host_normal(self, n: int, dim: int):
+        """Global [n, dim] normal draw -> this process's rank-slice, on
+        device.  Every rank draws the SAME global array (same host rng
+        stream) and keeps its contiguous row block, so multi-host runs see
+        the same global batch as a single-process run."""
+        x = np.asarray(self.rng.standard_normal((n, dim)), np.float32)
+        if self.num_ranks > 1:
+            local = n // self.num_ranks
+            x = x[self.rank * local:(self.rank + 1) * local]
+        return self._data(x)
 
     def _ema_beta(self) -> jnp.ndarray:
         ema_nimg = self.cfg.ema_kimg * 1000.0
@@ -246,16 +279,14 @@ class TrainingLoop:
                 stats.update({k: float(v) for k, v in s.items()
                               if np.isfinite(float(v))})
             elif warm:
-                z = self._data(np.asarray(self.rng.standard_normal(
-                    (cfg.batch_size, cfg.gen_cfg.z_dim)), np.float32))
+                z = self._host_normal(cfg.batch_size, cfg.gen_cfg.z_dim)
                 self.state, s = self.warm_step(
                     self.state, feats, geom_truth_j, z, self._next_rng(),
                     ema_beta)
                 note(s, "Ggeom-warm")
             else:
                 # Dmain
-                z = self._data(np.asarray(self.rng.standard_normal(
-                    (cfg.batch_size, cfg.gen_cfg.z_dim)), np.float32))
+                z = self._host_normal(cfg.batch_size, cfg.gen_cfg.z_dim)
                 self.state, s = train_steps.d_main_step(
                     cfg, self.state, self._data(style), feats, z,
                     self._next_rng())
@@ -268,8 +299,7 @@ class TrainingLoop:
                         self._next_rng())
                     note(s, "Dreg")
                 # Gmain
-                z = self._data(np.asarray(self.rng.standard_normal(
-                    (cfg.batch_size, cfg.gen_cfg.z_dim)), np.float32))
+                z = self._host_normal(cfg.batch_size, cfg.gen_cfg.z_dim)
                 self.state, s = train_steps.g_main_step(
                     cfg, self.state, feats, geom_truth_j, z,
                     self._next_rng(), ema_beta)
@@ -277,8 +307,7 @@ class TrainingLoop:
                 # Greg (path length)
                 if cfg.g_reg_interval > 0 and \
                         self.batch_idx % cfg.g_reg_interval == 0:
-                    z = self._data(np.asarray(self.rng.standard_normal(
-                        (cfg.batch_size, cfg.gen_cfg.z_dim)), np.float32))
+                    z = self._host_normal(cfg.batch_size, cfg.gen_cfg.z_dim)
                     self.state, s = train_steps.g_reg_step(
                         cfg, self.state, feats, z, self._next_rng(),
                         ema_beta)
@@ -293,8 +322,7 @@ class TrainingLoop:
                     feats2 = train_steps.encode_geometry(
                         cfg, self.enc_params, self.enc_state,
                         self._data(g2))
-                    z = self._data(np.asarray(self.rng.standard_normal(
-                        (cfg.batch_size, cfg.gen_cfg.z_dim)), np.float32))
+                    z = self._host_normal(cfg.batch_size, cfg.gen_cfg.z_dim)
                     self.state, s = self.stitch_step(
                         self.state, feats, feats2, z,
                         jnp.asarray(crop1), jnp.asarray(crop2),
@@ -303,8 +331,7 @@ class TrainingLoop:
                 # Ggeom
                 if self.geom_step is not None and \
                         self.batch_idx % cfg.geom_interval == 0:
-                    z = self._data(np.asarray(self.rng.standard_normal(
-                        (cfg.batch_size, cfg.gen_cfg.z_dim)), np.float32))
+                    z = self._host_normal(cfg.batch_size, cfg.gen_cfg.z_dim)
                     self.state, s = self.geom_step(
                         self.state, feats, geom_truth_j, z,
                         self._next_rng(), ema_beta)
@@ -336,8 +363,11 @@ class TrainingLoop:
             stats["Timing/sec_per_tick"] = tick_time
             stats["Timing/sec_per_kimg"] = tick_time / max(
                 (self.cur_nimg - tick_start_nimg) / 1000.0, 1e-8)
-            with open(self.stats_path, "a") as f:
-                f.write(json.dumps(stats) + "\n")
+            for name, cnt in self.hook_failure_counts.items():
+                stats[f"Eval/{name}_failures"] = cnt
+            if self.rank == 0:
+                with open(self.stats_path, "a") as f:
+                    f.write(json.dumps(stats) + "\n")
             if self.tb_writer is not None:
                 for k, v in stats.items():
                     self.tb_writer.add_scalar(k, v, self.cur_nimg)
@@ -345,7 +375,7 @@ class TrainingLoop:
             logger.info("tick %d kimg %.1f %s", self.cur_tick,
                         self.cur_nimg / 1e3,
                         {k: round(v, 4) for k, v in list(stats.items())[:6]})
-            if self.hooks.on_tick is not None:
+            if self.hooks.on_tick is not None and self.rank == 0:
                 self.hooks.on_tick(self, stats)
             if progress_fn is not None:
                 progress_fn(self.cur_nimg, total_kimg * 1000)
@@ -353,10 +383,13 @@ class TrainingLoop:
                 logger.info("Aborting at user request (abort_fn)")
                 done = True
 
-            snap_path = self.save_snapshot()
-            self.save_train_state()
-            if self.hooks.on_snapshot is not None:
-                self.hooks.on_snapshot(self, snap_path)
+            # Chief-only persistence (state is replicated, every rank holds
+            # identical values; reference rank-0 gating, loop :552-566).
+            if self.rank == 0:
+                snap_path = self.save_snapshot()
+                self.save_train_state()
+                if self.hooks.on_snapshot is not None:
+                    self.hooks.on_snapshot(self, snap_path)
 
             self.cur_tick += 1
             tick_start_nimg = self.cur_nimg

@@ -101,6 +101,13 @@ def build_parser():
     ap.add_argument("--dp", type=int, default=0,
                     help="Data-parallel over N devices (jax.sharding mesh; "
                          "0 = single device). batch must divide by N.")
+    ap.add_argument("--coordinator_address", default="",
+                    help="Multi-host: coordinator host:port for "
+                         "jax.distributed (auto-detected on TPU pods).")
+    ap.add_argument("--num_processes", type=int, default=0,
+                    help="Multi-host: total process count (0 = autodetect).")
+    ap.add_argument("--process_id", type=int, default=-1,
+                    help="Multi-host: this process's id (-1 = autodetect).")
     ap.add_argument("--profile_dir", default=None,
                     help="Write a jax.profiler device trace of batches "
                          "10-12 here (view in TensorBoard/Perfetto).")
@@ -196,6 +203,18 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     logging.basicConfig(level=args.log_level)
 
+    # Multi-host SPMD: initialize jax.distributed BEFORE any backend use so
+    # jax.devices() is the global view (reference analog: the NCCL process
+    # group init at train.py:523-530; SURVEY 2.12).  No-op on single hosts.
+    from brushstroke_engine_tpu.parallel.distributed import (
+        maybe_initialize_distributed, host_shard_info,
+    )
+    multihost = maybe_initialize_distributed(
+        coordinator_address=args.coordinator_address or None,
+        num_processes=args.num_processes or None,
+        process_id=args.process_id if args.process_id >= 0 else None)
+    rank, num_ranks = host_shard_info()
+
     cfg, enc_cfg, enc_params, enc_state = setup_config(args)
 
     desc = (f"{args.color_format}-res{args.output_resolution}"
@@ -239,8 +258,15 @@ def main(argv=None):
     else:
         geom_ds = SyntheticGeometryDataset(res + 64)
 
-    style_iter = BatchIterator(style_ds, cfg.batch_size, seed=args.seed)
-    geom_iter = BatchIterator(geom_ds, cfg.batch_size, seed=args.seed + 1)
+    # Per-process input shard: each rank loads batch/num_ranks items from
+    # its own interleaved index stream (dataset.infinite_indices).
+    assert cfg.batch_size % num_ranks == 0, \
+        f"batch {cfg.batch_size} not divisible by {num_ranks} processes"
+    local_bs = cfg.batch_size // num_ranks
+    style_iter = BatchIterator(style_ds, local_bs, seed=args.seed,
+                               rank=rank, num_ranks=num_ranks)
+    geom_iter = BatchIterator(geom_ds, local_bs, seed=args.seed + 1,
+                              rank=rank, num_ranks=num_ranks)
 
     resume_state = None
     g_params = g_state = None
@@ -251,9 +277,10 @@ def main(argv=None):
         g_state = bundle.gen_state
 
     mesh = None
-    if args.dp:
+    if args.dp or multihost:
         from brushstroke_engine_tpu.parallel.mesh import make_mesh
-        mesh = make_mesh(args.dp)
+        # Multi-host requires the mesh to span every process's devices.
+        mesh = make_mesh(None if multihost else args.dp)
 
     # Tick-time evaluation (reference training_loop_modified.py:552-621):
     # visualizer sheets every tick, metric suite + FID every --snap ticks.
