@@ -39,7 +39,7 @@ def _prep_color(x):
 
 class GanBrushOptions:
     """Brush state: style (z or W + noise buffers), user colors, position,
-    opacity, debug flags (reference brush.py:410-527)."""
+    debug flags (reference brush.py:410-527)."""
 
     def __init__(self, primary_color=None, secondary_color=None, debug=False):
         self.color0 = _prep_color(primary_color)
@@ -49,7 +49,8 @@ class GanBrushOptions:
         self.style_id = None
         self.library_id = ""
         self.style_ws = None
-        self.opacity = 1.0
+        # compat note: the reference stores opts.opacity (brush.py:425) but
+        # never reads it anywhere in the render path; we drop the dead field.
         self.debug = debug
         self.position = None          # [B, 2] int64 (y, x)
         self.custom_args: Dict = {}
@@ -127,6 +128,11 @@ class GanBrushOptions:
 class PaintEngine:
     """Base interface (reference brush.py:530-548)."""
 
+    # True for engines with a jit device core (_render_stroke_jax /
+    # render_batch); PaintingHelper routes through prepare_render for those
+    # and plain render_stroke otherwise (replaces a hasattr check).
+    supports_device_render = False
+
     def __init__(self):
         self.patch_width = 0
 
@@ -148,6 +154,7 @@ class GanPaintEngine(PaintEngine):
     the jitted render core.
     """
 
+    supports_device_render = True
     color_format = "triad"
 
     def __init__(self, gen_cfg: GeneratorConfig, gen_params, gen_state,
@@ -423,7 +430,7 @@ class MockPaintEngine(PaintEngine):
         result[:, 0, -1] = 255
         result[:, -3:, 0] = 255
         result[:, -3:, -1] = 255
-        return result, None, None
+        return result, None
 
     def summary(self):
         return "mock engine"

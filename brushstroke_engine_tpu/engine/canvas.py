@@ -394,12 +394,12 @@ class PaintingHelper:
         return np.ascontiguousarray(img), out_meta
 
     def render_stroke(self, stroke_patch, canvas_patch, opts, meta=None):
-        if not hasattr(self.engine, "_render_stroke_jax"):
+        if not self.engine.supports_device_render:
             # Mock/simple engines implement render_stroke directly.
             if canvas_patch is None:
                 canvas_patch = np.zeros(stroke_patch.shape, np.uint8)
-            img, debug, _ = self.engine.render_stroke(stroke_patch,
-                                                      canvas_patch, opts)
+            img, debug = self.engine.render_stroke(stroke_patch,
+                                                   canvas_patch, opts)
             out_meta = {"x": 0, "y": 0}
             if meta is not None:
                 out_meta = {"x": int(meta.get("x", 0)),

@@ -104,8 +104,8 @@ def get_default_extractor() -> Detector:
     points at a weights file, else the labeled random fallback."""
     global _DEFAULT
     if _DEFAULT is None:
-        import os
-        path = os.environ.get("NEUBE_FID_DETECTOR")
+        from brushstroke_engine_tpu.utils.weights import find_weights
+        path = find_weights("inception")
         _DEFAULT = load_detector(path) if path else \
             InceptionFeatures.random_init(0)
     return _DEFAULT

@@ -94,9 +94,21 @@ _DEFAULT_MODEL: Optional[LPIPSModel] = None
 
 
 def get_default_model() -> LPIPSModel:
+    """Real LPIPS-Alex when installed (utils.weights registry), else the
+    labeled random fallback."""
     global _DEFAULT_MODEL
     if _DEFAULT_MODEL is None:
-        _DEFAULT_MODEL = LPIPSModel.random_init(0)
+        from brushstroke_engine_tpu.utils.weights import find_weights
+        path = find_weights("lpips")
+        if path:
+            import torch
+            obj = torch.load(path, map_location="cpu", weights_only=False)
+            state = obj.get("state_dict", obj) if isinstance(obj, dict) \
+                else obj.state_dict()
+            _DEFAULT_MODEL = LPIPSModel.from_torch_state(
+                {k: v.numpy() for k, v in state.items()})
+        else:
+            _DEFAULT_MODEL = LPIPSModel.random_init(0)
     return _DEFAULT_MODEL
 
 

@@ -112,12 +112,22 @@ class HashingBackbone(ClipBackbone):
         return jnp.asarray(np.stack(out), jnp.float32)
 
 
+def default_backbone() -> ClipBackbone:
+    """Real CLIP ViT-B/32 when installed (utils.weights registry), else the
+    labeled hashing fallback."""
+    from brushstroke_engine_tpu.utils.weights import find_weights
+    path = find_weights("clip")
+    if path:
+        return CLIPBackbone(path, find_weights("clip_bpe"))
+    return HashingBackbone()
+
+
 class FeatureDictionary:
     """Style-thumbnail embedding index for text queries
     (reference clip_util.py:33-89)."""
 
     def __init__(self, backbone: Optional[ClipBackbone] = None):
-        self.backbone = backbone or HashingBackbone()
+        self.backbone = backbone or default_backbone()
         self.keys: List[str] = []
         self.features: Optional[np.ndarray] = None
 

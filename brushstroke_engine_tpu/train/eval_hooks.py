@@ -61,6 +61,8 @@ def make_eval_hooks(image_snapshot_ticks: int = 1,
                 state["viz"].do_visualize(
                     viz_dir, engine, f"{loop.cur_nimg // 1000:06d}")
             except Exception as e:
+                loop.hook_failure_counts["viz"] = \
+                    loop.hook_failure_counts.get("viz", 0) + 1
                 logger.warning(f"visualizer tick failed: {e}")
 
     def on_snapshot(loop, snap_path):
@@ -117,6 +119,8 @@ def make_eval_hooks(image_snapshot_ticks: int = 1,
                 os.path.join(loop.run_dir, "summary_metrics.txt"),
                 results, step=loop.cur_nimg // 1000, do_print=True)
         except Exception as e:
+            loop.hook_failure_counts["metric"] = \
+                loop.hook_failure_counts.get("metric", 0) + 1
             logger.warning(f"metric tick failed: {e}")
 
     return LoopHooks(on_tick=on_tick, on_snapshot=on_snapshot)

@@ -133,7 +133,7 @@ class TestRenderEngine:
     def test_mock_engine(self):
         eng = MockPaintEngine(32)
         canvas = np.zeros((32, 32, 4), np.uint8)
-        img, _, _ = eng.render_stroke(None, canvas, None)
+        img, _ = eng.render_stroke(None, canvas, None)
         assert (img[0, :, 0] == 255).all()
 
 
