@@ -41,6 +41,9 @@ RESOLUTION = 256
 
 def main():
     import jax
+    from brushstroke_engine_tpu.utils.compile_cache import \
+        enable_persistent_cache
+    enable_persistent_cache()
     import jax.numpy as jnp
 
     from brushstroke_engine_tpu.flagship import flagship_bundle

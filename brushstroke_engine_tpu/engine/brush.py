@@ -162,12 +162,17 @@ class GanPaintEngine(PaintEngine):
                  geom_inject_resolutions=(0,),
                  gan_checkpoint: str = "", encoder_checkpoint: str = ""):
         super().__init__()
+        import jax
+
         self.gen_cfg = gen_cfg
-        self.gen_params = gen_params
-        self.gen_state = gen_state
+        # Commit the weight trees to the device ONCE.  Checkpoint loading
+        # yields host numpy leaves; leaving them in the tree makes every
+        # render dispatch re-stage the full weight set host->device (~390 ms
+        # per stroke measured over the dev tunnel vs ~10 ms with resident
+        # weights -- and a hidden per-call PCIe copy even when co-located).
+        self.gen_params, self.gen_state, self.enc_params, self.enc_state = \
+            jax.device_put((gen_params, gen_state, enc_params, enc_state))
         self.enc_cfg = enc_cfg
-        self.enc_params = enc_params
-        self.enc_state = enc_state
         self.enc_res = tuple(geom_inject_resolutions)
         self.gan_checkpoint = gan_checkpoint
         self.encoder_checkpoint = encoder_checkpoint

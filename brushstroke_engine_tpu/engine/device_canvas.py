@@ -139,6 +139,38 @@ def render_stroke_step(gen_cfg, enc_cfg, enc_res, render_mode: str,
     return rgba, CanvasState(features=features, mask=mask)
 
 
+@partial(jax.jit, static_argnames=(
+    "gen_cfg", "enc_cfg", "enc_res", "render_mode", "blend_res",
+    "blend_margin", "crop_margin"), donate_argnums=(8,))
+def render_stroke_packed(gen_cfg, enc_cfg, enc_res, render_mode: str,
+                         blend_res: int, blend_margin: int, crop_margin: int,
+                         bundle_params, canvas: CanvasState,
+                         packed, z, ws, color_override, color_mask):
+    """:func:`render_stroke_step` behind a single-upload request layout.
+
+    ``packed`` is one float32 vector ``[pw*pw + 2]``: the geometry patch
+    followed by (y, x).  Interactive serving dispatches through a network
+    tunnel in this dev environment (and potentially a NUMA hop in
+    production); every separate host->device transfer costs a round trip,
+    so the whole per-stroke request rides ONE upload and the RGBA response
+    returns as uint8 (4x smaller readback, and the clip/scale runs on
+    device instead of the serving host).
+    """
+    pw = int(round((packed.shape[0] - 2) ** 0.5))
+    geom_patch = packed[:pw * pw].reshape(1, pw, pw, 1)
+    position = packed[pw * pw:].astype(jnp.int32)
+    rgba, new_canvas = render_stroke_step.__wrapped__(
+        gen_cfg, enc_cfg, enc_res, render_mode, blend_res, blend_margin,
+        crop_margin, bundle_params, canvas, geom_patch, position, z, ws,
+        color_override, color_mask)
+    # Unbatched uint8 out: the caller downloads this array as-is.  Indexing
+    # or converting on the host would dispatch extra device programs and --
+    # on remote/tunneled backends -- force materialization of the big
+    # sibling canvas output, which must never leave the device.
+    rgba_u8 = jnp.clip(rgba[0] * 255.0, 0, 255).astype(jnp.uint8)
+    return rgba_u8, new_canvas
+
+
 class DevicePaintSession:
     """Stateful wrapper: an interactive painting session whose feature canvas
     never leaves the device.  API mirrors PaintingHelper.render_stroke for
@@ -158,30 +190,43 @@ class DevicePaintSession:
                                         self.down, ch)
         self._params = (engine.gen_params, engine.gen_state,
                         engine.enc_params, engine.enc_state)
+        # Device-resident copies of the style tensors (z/ws/color override):
+        # they change on set_brush, not per stroke, so re-uploading them per
+        # stroke would add avoidable host->device round trips.
+        self._style_host = None
+        self._style_dev = (None, None, None, None)
+
+    def _style_arrays(self, opts):
+        opts.prepare_style(1)
+        override, cmask = opts.color_override(1)
+        host = tuple(None if a is None else np.asarray(a, np.float32)
+                     for a in (opts.style_z, opts.style_ws, override, cmask))
+        if self._style_host is not None and all(
+                (a is None) == (b is None)
+                and (a is None or np.array_equal(a, b))
+                for a, b in zip(host, self._style_host)):
+            return self._style_dev
+        self._style_host = host
+        self._style_dev = tuple(None if a is None else jnp.asarray(a)
+                                for a in host)
+        return self._style_dev
 
     def render_stroke(self, stroke_patch: np.ndarray, opts,
                       x: int, y: int):
         """stroke_patch: uint8 [W, W, 4]; returns uint8 RGBA + out meta."""
         eng = self.engine
-        geom = eng.prepare_geom_input(stroke_patch)
-        geom = jnp.asarray(geom.reshape(1, eng.patch_width,
-                                        eng.patch_width, 1))
+        geom = np.asarray(eng.prepare_geom_input(stroke_patch),
+                          np.float32).ravel()
         x = (x // self.down) * self.down
         y = (y // self.down) * self.down
-        opts.prepare_style(1)
-        override, cmask = opts.color_override(1)
-        rgba, self.canvas = render_stroke_step(
+        packed = jnp.asarray(np.concatenate(
+            [geom, np.asarray([y, x], np.float32)]))
+        z, ws, override, cmask = self._style_arrays(opts)
+        rgba, self.canvas = render_stroke_packed(
             eng.gen_cfg, eng.enc_cfg, tuple(eng.enc_res), eng.render_mode,
             self.blend_res, self.blend_margin, self.crop_margin,
-            self._params, self.canvas, geom,
-            jnp.asarray([y, x]),
-            None if opts.style_z is None else jnp.asarray(opts.style_z,
-                                                          jnp.float32),
-            None if opts.style_ws is None else jnp.asarray(opts.style_ws,
-                                                           jnp.float32),
-            None if override is None else jnp.asarray(override),
-            None if cmask is None else jnp.asarray(cmask))
-        img = np.clip(np.asarray(rgba[0]) * 255, 0, 255).astype(np.uint8)
+            self._params, self.canvas, packed, z, ws, override, cmask)
+        img = np.asarray(rgba)
         if self.crop_margin > 0:
             m = self.crop_margin
             img = img[m:-m, m:-m]

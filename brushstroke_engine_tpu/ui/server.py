@@ -569,6 +569,12 @@ def run_main(argv=None):
     args = ap.parse_args(argv)
     logging.basicConfig(level=args.log_level)
 
+    from brushstroke_engine_tpu.utils.compile_cache import \
+        enable_persistent_cache
+    cache_dir = enable_persistent_cache()
+    if cache_dir:
+        logger.info(f"Persistent XLA compile cache at {cache_dir}")
+
     server = create_server(
         encoder_checkpoint=args.encoder_checkpoint,
         gan_checkpoint=args.gan_checkpoint,

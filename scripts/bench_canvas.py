@@ -32,6 +32,9 @@ def main():
     args = ap.parse_args()
 
     import jax
+    from brushstroke_engine_tpu.utils.compile_cache import \
+        enable_persistent_cache
+    enable_persistent_cache()
     from brushstroke_engine_tpu.ops.precision import set_precision_mode
     from brushstroke_engine_tpu.engine.brush import (
         PaintEngineFactory, TriadGanPaintEngine, GanBrushOptions,

@@ -33,6 +33,9 @@ def measure_latency(resolution=256, strokes=32, canvas=2048, reps=3,
     its own to avoid double init).
     """
     import jax
+    from brushstroke_engine_tpu.utils.compile_cache import \
+        enable_persistent_cache
+    enable_persistent_cache()
     import jax.numpy as jnp
     from brushstroke_engine_tpu.ops.precision import set_precision_mode
     from brushstroke_engine_tpu.flagship import flagship_bundle

@@ -27,6 +27,9 @@ def main():
     args = ap.parse_args()
 
     import jax
+    from brushstroke_engine_tpu.utils.compile_cache import \
+        enable_persistent_cache
+    enable_persistent_cache()
     import jax.numpy as jnp
     from brushstroke_engine_tpu.ops.precision import set_precision_mode
     from brushstroke_engine_tpu.flagship import (

@@ -203,6 +203,10 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     logging.basicConfig(level=args.log_level)
 
+    from brushstroke_engine_tpu.utils.compile_cache import \
+        enable_persistent_cache
+    enable_persistent_cache()
+
     # Multi-host SPMD: initialize jax.distributed BEFORE any backend use so
     # jax.devices() is the global view (reference analog: the NCCL process
     # group init at train.py:523-530; SURVEY 2.12).  No-op on single hosts.

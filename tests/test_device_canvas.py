@@ -60,17 +60,44 @@ class TestDeviceSession:
     def test_positions_do_not_retrace(self):
         """Different positions must reuse the same compiled program."""
         from brushstroke_engine_tpu.engine.device_canvas import \
-            render_stroke_step
+            render_stroke_packed
         eng = make_engine()
         sess = DevicePaintSession(eng, 256, 256, feature_blending_level=1)
         opts = GanBrushOptions()
         opts.set_style(eng.random_style(5), 5)
         p = stroke_patch(eng.patch_width, seed=2)
         sess.render_stroke(p, opts, x=0, y=0)
-        n0 = render_stroke_step._cache_size()
+        n0 = render_stroke_packed._cache_size()
         sess.render_stroke(p, opts, x=64, y=128)
         sess.render_stroke(p, opts, x=192, y=32)
-        assert render_stroke_step._cache_size() == n0
+        assert render_stroke_packed._cache_size() == n0
+
+    def test_packed_matches_step(self):
+        """The single-upload packed program must equal the plain-args one."""
+        import jax.numpy as jnp
+        from brushstroke_engine_tpu.engine.device_canvas import (
+            render_stroke_step, init_canvas_state,
+        )
+        eng = make_engine()
+        sess = DevicePaintSession(eng, 128, 128, feature_blending_level=1)
+        opts = GanBrushOptions()
+        opts.set_style(eng.random_style(5), 5)
+        p = stroke_patch(eng.patch_width, seed=4)
+        img_packed, _ = sess.render_stroke(p, opts, x=32, y=64)
+
+        geom = eng.prepare_geom_input(p).reshape(1, eng.patch_width,
+                                                 eng.patch_width, 1)
+        opts.prepare_style(1)
+        canvas = init_canvas_state(128, 128, sess.down,
+                                   sess.canvas.features.shape[-1])
+        rgba, _ = render_stroke_step(
+            eng.gen_cfg, eng.enc_cfg, tuple(eng.enc_res), eng.render_mode,
+            sess.blend_res, sess.blend_margin, sess.crop_margin,
+            sess._params, canvas, jnp.asarray(geom), jnp.asarray([64, 32]),
+            jnp.asarray(opts.style_z, jnp.float32), None, None, None)
+        img_step = np.clip(np.asarray(rgba[0]) * 255, 0, 255) \
+            .astype(np.uint8)
+        np.testing.assert_array_equal(img_packed, img_step)
 
     def test_color_override(self):
         eng = make_engine()
