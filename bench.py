@@ -128,6 +128,17 @@ def main():
     except Exception as e:
         latency = {"latency_error": str(e)[:200]}
 
+    # Tertiary contract: per-stroke round trip at the WEBSOCKET boundary
+    # (real tornado server + protocol codec, in-process, device-canvas
+    # path) -- what a painter feels.  In this dev environment the value
+    # includes the host<->chip network tunnel (~28 ms/round trip floor);
+    # co-located serving sees the device+protocol cost only.
+    ws = {}
+    try:
+        ws = measure_ws_slo(bundle, sessions=2, strokes=12, warmup=4)
+    except Exception as e:
+        ws = {"ws_error": str(e)[:200]}
+
     print(json.dumps({
         "metric": "256px stylized patches/sec/chip",
         "value": round(patches_per_sec, 2),
@@ -137,7 +148,82 @@ def main():
         # numbers and no GPU is available here); see module docstring.
         "baseline_kind": "estimate",
         **latency,
+        **ws,
     }))
+
+
+def measure_ws_slo(bundle, sessions=2, strokes=12, warmup=4):
+    """End-to-end websocket SLO: run the REAL server app in-process on an
+    ephemeral port, drive concurrent painter sessions over real
+    websockets (device-canvas path), and report per-stroke round-trip
+    percentiles at the protocol boundary."""
+    import asyncio
+    import socket
+
+    from brushstroke_engine_tpu.engine.brush import TriadGanPaintEngine
+    from brushstroke_engine_tpu.ui import protocol, server as ui_server
+
+    engine = TriadGanPaintEngine(
+        bundle.gen_cfg, bundle.gen_params, bundle.gen_state,
+        bundle.enc_cfg, bundle.enc_params, bundle.enc_state,
+        geom_inject_resolutions=bundle.geom_inject_resolutions)
+    app = ui_server.create_server(None, None, paint_engine=engine,
+                                  use_device_canvas=True)
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    pw = engine.patch_width
+    patch = np.zeros((pw, pw, 4), np.uint8)
+    yy = (pw / 2 + (pw / 3) * np.sin(np.linspace(0, 2 * np.pi, pw))) \
+        .astype(int)
+    for x, y in enumerate(yy):
+        patch[max(0, y - 3):min(pw, y + 3), x, 3] = 255
+
+    async def drive(sid, out):
+        import json as _json
+
+        import tornado.websocket
+        ws = await tornado.websocket.websocket_connect(
+            f"ws://127.0.0.1:{port}/websocket/")
+        for _ in range(2):
+            await ws.read_message()
+        ws.write_message(_json.dumps({"type": "set_option",
+                                      "option": "positions", "value": True}))
+        ws.write_message(_json.dumps({"type": "new_canvas", "rows": 1024,
+                                      "cols": 1024, "feature_blending": 2}))
+        rng = np.random.RandomState(100 + sid)
+        for i in range(strokes):
+            x = int(rng.randint(0, 1024 - pw))
+            y = int(rng.randint(0, 1024 - pw))
+            t0 = time.perf_counter()
+            ws.write_message(protocol.encode_render_request(
+                patch, x, y, 0, 0, [], 0), binary=True)
+            while True:
+                raw = await ws.read_message()
+                if isinstance(raw, (bytes, bytearray)):
+                    protocol.decode_render_response(raw)
+                    break
+            if i >= warmup:
+                out.append((time.perf_counter() - t0) * 1e3)
+        ws.close()
+
+    async def run():
+        srv = app.listen(port, address="127.0.0.1")
+        out = []
+        try:
+            await asyncio.gather(*[drive(s, out) for s in range(sessions)])
+        finally:
+            srv.stop()
+        return out
+
+    times = np.asarray(asyncio.run(run()))
+    return {
+        "ws_p50_ms": round(float(np.percentile(times, 50)), 2),
+        "ws_p99_ms": round(float(np.percentile(times, 99)), 2),
+        "ws_sessions": sessions,
+        "ws_strokes_measured": int(times.size),
+    }
 
 
 if __name__ == "__main__":

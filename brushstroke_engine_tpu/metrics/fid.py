@@ -108,6 +108,13 @@ def get_default_extractor() -> Detector:
         path = find_weights("inception")
         _DEFAULT = load_detector(path) if path else \
             InceptionFeatures.random_init(0)
+        # Commit detector weights to device ONCE: host-numpy leaves would
+        # re-stage the full weight set on every feature batch.
+        import jax
+        if isinstance(_DEFAULT, InceptionV3):
+            _DEFAULT.params = jax.device_put(_DEFAULT.params)
+        else:
+            _DEFAULT.convs = jax.device_put(_DEFAULT.convs)
     return _DEFAULT
 
 

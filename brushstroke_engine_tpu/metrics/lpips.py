@@ -109,6 +109,10 @@ def get_default_model() -> LPIPSModel:
                 {k: v.numpy() for k, v in state.items()})
         else:
             _DEFAULT_MODEL = LPIPSModel.random_init(0)
+        # Device-resident weights: avoid per-batch host->device re-staging.
+        import jax
+        _DEFAULT_MODEL.convs = jax.device_put(_DEFAULT_MODEL.convs)
+        _DEFAULT_MODEL.lins = jax.device_put(_DEFAULT_MODEL.lins)
     return _DEFAULT_MODEL
 
 

@@ -343,6 +343,10 @@ def load_openai_clip(weights_path: str, bpe_path: Optional[str] = None):
     except Exception:
         state = torch.jit.load(weights_path, map_location="cpu").state_dict()
     cfg, params = from_openai_state(state)
+    # Commit to device once; host-numpy leaves would re-stage the full
+    # weight set on every encode batch.
+    import jax
+    params = jax.device_put(params)
     tokenizer = SimpleTokenizer(bpe_path, cfg.context_length) \
         if bpe_path else None
     return cfg, params, tokenizer

@@ -273,9 +273,10 @@ class BrushIconHandler(tornado.web.RequestHandler):
 def create_server(encoder_checkpoint, gan_checkpoint, debug_dir=None,
                   style_seed=None, enable_z_saving=False,
                   library_specs=None, use_device_canvas=False,
-                  batch_window_ms: float = 0.0):
-    engine = PaintEngineFactory.create(gan_checkpoint,
-                                       encoder_checkpoint=encoder_checkpoint)
+                  batch_window_ms: float = 0.0, paint_engine=None):
+    engine = paint_engine if paint_engine is not None else \
+        PaintEngineFactory.create(gan_checkpoint,
+                                  encoder_checkpoint=encoder_checkpoint)
     z_file = generate_z_file(gan_checkpoint)
     library_specs = library_specs or []
 
