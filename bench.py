@@ -167,6 +167,10 @@ def measure_ws_slo(bundle, sessions=2, strokes=12, warmup=4):
         bundle.gen_cfg, bundle.gen_params, bundle.gen_state,
         bundle.enc_cfg, bundle.enc_params, bundle.enc_state,
         geom_inject_resolutions=bundle.geom_inject_resolutions)
+    # No batch window: with clients and server sharing one event loop the
+    # 6 ms production window only adds latency (measured 117 vs 97 ms p50
+    # over the tunnel); the standalone scripts/bench_ws_slo.py probe runs
+    # the production config (separate server process, window on).
     app = ui_server.create_server(None, None, paint_engine=engine,
                                   use_device_canvas=True)
     with socket.socket() as s:
@@ -212,12 +216,20 @@ def measure_ws_slo(bundle, sessions=2, strokes=12, warmup=4):
         srv = app.listen(port, address="127.0.0.1")
         out = []
         try:
-            await asyncio.gather(*[drive(s, out) for s in range(sessions)])
+            # Hard cap so a wedged session can never hang the driver's
+            # bench run; partial results still report.
+            await asyncio.wait_for(
+                asyncio.gather(*[drive(s, out) for s in range(sessions)]),
+                timeout=600)
+        except asyncio.TimeoutError:
+            pass
         finally:
             srv.stop()
         return out
 
     times = np.asarray(asyncio.run(run()))
+    if times.size == 0:
+        return {"ws_error": "no strokes completed within timeout"}
     return {
         "ws_p50_ms": round(float(np.percentile(times, 50)), 2),
         "ws_p99_ms": round(float(np.percentile(times, 99)), 2),

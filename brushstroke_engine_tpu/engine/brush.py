@@ -170,8 +170,13 @@ class GanPaintEngine(PaintEngine):
         # render dispatch re-stage the full weight set host->device (~390 ms
         # per stroke measured over the dev tunnel vs ~10 ms with resident
         # weights -- and a hidden per-call PCIe copy even when co-located).
+        # commit_to_default_device also rescues CPU-committed trees (e.g.
+        # bundles built under jax.default_device(cpu)), which a bare
+        # device_put would silently leave on the host.
+        from brushstroke_engine_tpu.utils.util import commit_to_default_device
         self.gen_params, self.gen_state, self.enc_params, self.enc_state = \
-            jax.device_put((gen_params, gen_state, enc_params, enc_state))
+            commit_to_default_device(
+                (gen_params, gen_state, enc_params, enc_state))
         self.enc_cfg = enc_cfg
         self.enc_res = tuple(geom_inject_resolutions)
         self.gan_checkpoint = gan_checkpoint

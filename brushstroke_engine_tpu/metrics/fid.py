@@ -110,11 +110,12 @@ def get_default_extractor() -> Detector:
             InceptionFeatures.random_init(0)
         # Commit detector weights to device ONCE: host-numpy leaves would
         # re-stage the full weight set on every feature batch.
-        import jax
+        from brushstroke_engine_tpu.utils.util import \
+            commit_to_default_device
         if isinstance(_DEFAULT, InceptionV3):
-            _DEFAULT.params = jax.device_put(_DEFAULT.params)
+            _DEFAULT.params = commit_to_default_device(_DEFAULT.params)
         else:
-            _DEFAULT.convs = jax.device_put(_DEFAULT.convs)
+            _DEFAULT.convs = commit_to_default_device(_DEFAULT.convs)
     return _DEFAULT
 
 

@@ -110,9 +110,10 @@ def get_default_model() -> LPIPSModel:
         else:
             _DEFAULT_MODEL = LPIPSModel.random_init(0)
         # Device-resident weights: avoid per-batch host->device re-staging.
-        import jax
-        _DEFAULT_MODEL.convs = jax.device_put(_DEFAULT_MODEL.convs)
-        _DEFAULT_MODEL.lins = jax.device_put(_DEFAULT_MODEL.lins)
+        from brushstroke_engine_tpu.utils.util import \
+            commit_to_default_device
+        _DEFAULT_MODEL.convs = commit_to_default_device(_DEFAULT_MODEL.convs)
+        _DEFAULT_MODEL.lins = commit_to_default_device(_DEFAULT_MODEL.lins)
     return _DEFAULT_MODEL
 
 

@@ -345,8 +345,8 @@ def load_openai_clip(weights_path: str, bpe_path: Optional[str] = None):
     cfg, params = from_openai_state(state)
     # Commit to device once; host-numpy leaves would re-stage the full
     # weight set on every encode batch.
-    import jax
-    params = jax.device_put(params)
+    from brushstroke_engine_tpu.utils.util import commit_to_default_device
+    params = commit_to_default_device(params)
     tokenizer = SimpleTokenizer(bpe_path, cfg.context_length) \
         if bpe_path else None
     return cfg, params, tokenizer
