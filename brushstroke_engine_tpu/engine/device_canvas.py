@@ -186,8 +186,12 @@ class DevicePaintSession:
         self.blend_margin = blend_margin
         self.crop_margin = crop_margin
         ch = engine.gen_cfg.synthesis.channels(self.blend_res)
-        self.canvas = init_canvas_state(canvas_height, canvas_width,
-                                        self.down, ch)
+        # Commit the fresh canvas like the (committed) weight trees: the
+        # first stroke's jit output is committed, so an uncommitted zeros
+        # canvas would make call 1 compile a second executable variant.
+        from brushstroke_engine_tpu.utils.util import commit_to_default_device
+        self.canvas = commit_to_default_device(
+            init_canvas_state(canvas_height, canvas_width, self.down, ch))
         self._params = (engine.gen_params, engine.gen_state,
                         engine.enc_params, engine.enc_state)
         # Device-resident copies of the style tensors (z/ws/color override):
