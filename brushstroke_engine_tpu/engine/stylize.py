@@ -382,6 +382,8 @@ def stylize_image_ondevice(engine, geom: np.ndarray, brush_options, *,
     ws = None if ws is None else jnp.asarray(ws, jnp.float32)
     override = None if override is None else jnp.asarray(override)
     cmask = None if cmask is None else jnp.asarray(cmask)
+    bundle_tree = (engine.gen_params, engine.gen_state,
+                   engine.enc_params, engine.enc_state)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
         axis = mesh.axis_names[0]
@@ -401,12 +403,21 @@ def stylize_image_ondevice(engine, geom: np.ndarray, brush_options, *,
         geom_dev = shard(geom_dev, P())
         if border is not None:
             border = shard(border, P())
+        # The engine commits its weight trees to ONE accelerator at
+        # construction (per-dispatch host restaging is the serving
+        # latency killer); a mesh-sharded call needs them REPLICATED
+        # over every mesh device instead.  Replicate once per mesh and
+        # cache on the engine so repeated sharded calls reuse the copy.
+        cached = getattr(engine, "_mesh_replicated_weights", None)
+        if cached is None or cached[0] is not mesh:
+            rep = jax.device_put(bundle_tree, NamedSharding(mesh, P()))
+            engine._mesh_replicated_weights = (mesh, rep)
+        bundle_tree = engine._mesh_replicated_weights[1]
     canvas = _stylize_waves()(
         engine.gen_cfg, engine.enc_cfg, tuple(engine.enc_res),
         engine.render_mode, engine.color_format, blend_res, crop_margin,
         patch_width,
-        (engine.gen_params, engine.gen_state,
-         engine.enc_params, engine.enc_state),
+        bundle_tree,
         geom_dev, ys, xs, z, ws, noise_buffers,
         override, cmask, sfactor, border)
     canvas = np.asarray(canvas)

@@ -96,7 +96,17 @@ class TrainingLoop:
             self.enc_params = replicate(mesh, self.enc_params)
             self.enc_state = replicate(mesh, self.enc_state)
         self.rng = np.random.default_rng(seed)
-        self.host_key = jax.random.PRNGKey(seed + 1)
+        # RNG key stream lives on the HOST (CPU backend): splitting it on
+        # the accelerator would issue two tiny device dispatches per batch
+        # that serialize against the training step for no work.  The key is
+        # kept as numpy and split on the CPU platform; the jitted steps
+        # receive it as a plain host array (one 8-byte upload per dispatch).
+        try:
+            self._cpu_dev = jax.local_devices(backend="cpu")[0]
+        except Exception:
+            self._cpu_dev = None
+        self.host_key = np.asarray(jax.random.key_data(
+            jax.random.PRNGKey(seed + 1)))
 
         self.geom_step = train_steps.make_geom_step(cfg, warmstart=False) \
             if cfg.geom_interval > 0 and cfg.losses("geom").items else None
@@ -137,8 +147,17 @@ class TrainingLoop:
     # ------------------------------------------------------------------
 
     def _next_rng(self):
-        self.host_key, sub = jax.random.split(self.host_key)
-        return sub
+        """Split the per-batch PRNG key on the HOST CPU backend so the tiny
+        split program never lands on (or syncs with) the accelerator stream;
+        the subkey reaches the jitted step as plain numpy (uploaded with the
+        dispatch)."""
+        if self._cpu_dev is not None:
+            with jax.default_device(self._cpu_dev):
+                ks = np.asarray(jax.random.split(jnp.asarray(self.host_key)))
+        else:
+            ks = np.asarray(jax.random.split(jnp.asarray(self.host_key)))
+        self.host_key = ks[0]
+        return ks[1]
 
     def _data(self, x):
         """Device-put a batch array, sharded over the mesh if present.
@@ -168,12 +187,14 @@ class TrainingLoop:
             x = x[self.rank * local:(self.rank + 1) * local]
         return self._data(x)
 
-    def _ema_beta(self) -> jnp.ndarray:
+    def _ema_beta(self) -> np.float32:
         ema_nimg = self.cfg.ema_kimg * 1000.0
         if self.cfg.ema_rampup is not None:
             ema_nimg = min(ema_nimg, self.cur_nimg * self.cfg.ema_rampup)
-        return jnp.float32(0.5 ** (self.cfg.batch_size /
-                                   max(ema_nimg, 1e-8)))
+        # numpy scalar: uploaded with the step dispatch instead of a
+        # separate eager device_put per batch.
+        return np.float32(0.5 ** (self.cfg.batch_size /
+                                  max(ema_nimg, 1e-8)))
 
     def in_warmstart(self) -> bool:
         c = self.cfg
@@ -240,16 +261,21 @@ class TrainingLoop:
                     cfg, self.enc_params, self.enc_state,
                     self._data(geom_input))
             geom_truth_j = self._data(geom_truth)
+            # Per-batch loss scalars stay ON DEVICE until the tick boundary:
+            # materializing ~25 tiny scalars with float() every batch forces
+            # a host<->device round trip that serializes the dispatch queue
+            # (the host can otherwise run ahead feeding the next batch while
+            # the step executes).  Only the tick path reads them back.
             stats: Dict[str, float] = {}
             phase_t0 = [time.time()]
 
             def note(s, phase=None):
-                for k, v in s.items():
-                    stats[k] = float(v)
+                stats.update(s)
                 if self.profile_phases and phase is not None:
-                    # float() above forced completion of the phase's stats,
-                    # so wall-clock deltas approximate per-phase device time
-                    # (reference Timing/<phase> scalars, loop :624-631).
+                    # Block on the phase's outputs so wall-clock deltas
+                    # approximate per-phase device time (reference
+                    # Timing/<phase> scalars, loop :624-631).
+                    jax.block_until_ready(s)
                     now = time.time()
                     stats[f"Timing/{phase}"] = now - phase_t0[0]
                     phase_t0[0] = now
@@ -267,17 +293,16 @@ class TrainingLoop:
                                   crop2[1]:crop2[1] + crop2[3], 1:2]
                     stitch_kwargs = {
                         "geom_input2": self._data(g2),
-                        "crop1": jnp.asarray(crop1),
-                        "crop2": jnp.asarray(crop2),
+                        "crop1": np.asarray(crop1, np.int32),
+                        "crop2": np.asarray(crop2, np.int32),
                     }
                 self.state, s = self.fused_step(
                     self.state, self.enc_params, self.enc_state,
                     self._data(style), self._data(geom_input),
                     geom_truth_j, self._next_rng(),
-                    jnp.int32(self.batch_idx), jnp.bool_(warm), ema_beta,
+                    np.int32(self.batch_idx), np.bool_(warm), ema_beta,
                     **stitch_kwargs)
-                stats.update({k: float(v) for k, v in s.items()
-                              if np.isfinite(float(v))})
+                note(s, "fused")
             elif warm:
                 z = self._host_normal(cfg.batch_size, cfg.gen_cfg.z_dim)
                 self.state, s = self.warm_step(
@@ -325,7 +350,8 @@ class TrainingLoop:
                     z = self._host_normal(cfg.batch_size, cfg.gen_cfg.z_dim)
                     self.state, s = self.stitch_step(
                         self.state, feats, feats2, z,
-                        jnp.asarray(crop1), jnp.asarray(crop2),
+                        np.asarray(crop1, np.int32),
+                        np.asarray(crop2, np.int32),
                         self._next_rng(), ema_beta)
                     note(s, "Gstitch")
                 # Ggeom
@@ -342,7 +368,7 @@ class TrainingLoop:
                         self.batch_idx > 0:
                     self.state = train_steps.ada_update(
                         cfg, self.state,
-                        jnp.float32(cfg.batch_size * cfg.ada_interval))
+                        np.float32(cfg.batch_size * cfg.ada_interval))
 
             self.cur_nimg += cfg.batch_size
             self.batch_idx += 1
@@ -357,6 +383,13 @@ class TrainingLoop:
 
             # ---- tick maintenance ----
             tick_time = time.time() - tick_start_time
+            # Materialize the deferred device scalars (one readback per tick
+            # instead of per batch).  Non-finite values are dropped: the
+            # fused step reports NaN for phases skipped this batch.
+            fetched = jax.device_get(stats)
+            stats.clear()
+            stats.update({k: float(v) for k, v in fetched.items()
+                          if np.isfinite(v)})
             stats["Progress/tick"] = self.cur_tick
             stats["Progress/kimg"] = self.cur_nimg / 1e3
             stats["Progress/ada_p"] = float(self.state["ada_p"])
@@ -469,7 +502,7 @@ class TrainingLoop:
             self.batch_idx = int(c["batch_idx"])
             self.cur_tick = int(c["cur_tick"])
             if "host_key" in payload:
-                self.host_key = jnp.asarray(payload["host_key"])
+                self.host_key = np.asarray(payload["host_key"])
             import pickle
             if os.path.isfile(path + ".nprng.pkl"):
                 with open(path + ".nprng.pkl", "rb") as f:
@@ -490,7 +523,7 @@ class TrainingLoop:
         self.batch_idx = payload["batch_idx"]
         self.cur_tick = payload["cur_tick"]
         if "rng_state" in payload:
-            self.host_key = jnp.asarray(payload["rng_state"]["host_key"])
+            self.host_key = np.asarray(payload["rng_state"]["host_key"])
             self.rng.bit_generator.state = payload["rng_state"]["np_rng"]
         logger.info("Resumed training state at %d kimg",
                     self.cur_nimg // 1000)
