@@ -119,6 +119,14 @@ def _affine_warp(images, mat, out_size=None):
       mat: [B, 3, 3] mapping OUTPUT pixel coords (centered) to INPUT coords.
     """
     if out_size is None and images.shape[1] == images.shape[2]:
+        from brushstroke_engine_tpu.ops.pallas_warp import (
+            affine_warp_twopass_pallas, pallas_warp_enabled, warp_eligible,
+        )
+        if pallas_warp_enabled() and warp_eligible(images):
+            # Fused Pallas form: same weights, computed in VMEM instead of
+            # materialized to HBM (ops/pallas_warp.py; opt-in until a
+            # measured on-chip win is recorded).
+            return affine_warp_twopass_pallas(images, mat)
         return _affine_warp_twopass(images, mat)
     return _affine_warp_gather(images, mat, out_size)
 
@@ -178,6 +186,50 @@ def _affine_warp_gather(images, mat, out_size=None):
     return out
 
 
+def _twopass_prep(images, mat, antialias=True):
+    """Shared prep for the two-pass warp's XLA and Pallas forms.
+
+    Factors an exact quarter-turn out of near-90-degree transforms (see
+    `_affine_warp_twopass` notes) and reduces each per-sample inverse
+    affine to eight pass scalars in 0-BASED pixel coordinates:
+
+        scalars[b] = (A1, B1, c1, s1, D2, E2, c2, s2)
+
+    so pass 1 samples the input row ``r`` at ``u(r, j) = B1*r + A1*j + c1``
+    with triangle half-width ``s1``, and pass 2 samples the intermediate
+    at ``v(i, j) = E2*i + D2*j + c2`` with half-width ``s2``.
+
+    Returns (imgs, scalars): the (possibly pre-rotated) images and the
+    [B, 8] float32 scalar pack.
+    """
+    b, h, w, c = images.shape
+    assert h == w, "two-pass warp requires square images"
+    f32 = jnp.float32
+    ctr = (w - 1) / 2.0
+    m = mat.astype(f32)
+
+    use_rot = jnp.abs(m[:, 0, 1]) > jnp.abs(m[:, 1, 1])
+    r1inv = jnp.asarray(
+        [[0.0, 1.0, 0.0], [-1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], f32)
+    m = jnp.where(use_rot[:, None, None], r1inv @ m, m)
+    img_rot = jnp.flip(jnp.transpose(images, (0, 2, 1, 3)), axis=1)
+    imgs = jnp.where(use_rot[:, None, None, None], img_rot, images)
+
+    a, bb, cc = m[:, 0, 0], m[:, 0, 1], m[:, 0, 2]
+    d, e, ff = m[:, 1, 0], m[:, 1, 1], m[:, 1, 2]
+    e = jnp.where(jnp.abs(e) < 1e-6, jnp.where(e < 0, -1e-6, 1e-6), e)
+
+    a1 = a - bb * d / e                       # du/dj
+    b1 = bb / e                               # du/dr
+    c1 = (cc - bb * ff / e) + ctr - (a1 + b1) * ctr
+    c2 = ff + ctr - (d + e) * ctr
+    one = jnp.ones_like(a1)
+    s1 = jnp.maximum(1.0, jnp.abs(a1)) if antialias else one
+    s2 = jnp.maximum(1.0, jnp.abs(e)) if antialias else one
+    scalars = jnp.stack([a1, b1, c1, s1, d, e, c2, s2], axis=-1)
+    return imgs, scalars
+
+
 def _affine_warp_twopass(images, mat, antialias=True):
     """MXU two-pass (Catmull-Smith) affine warp for square images.
 
@@ -207,22 +259,11 @@ def _affine_warp_twopass(images, mat, antialias=True):
     bilinear sampling exactly (used by the gather-equivalence tests).
     """
     b, h, w, c = images.shape
-    assert h == w, "two-pass warp requires square images"
     f32 = jnp.float32
-    ctr = (w - 1) / 2.0
-    m = mat.astype(f32)
-
-    use_rot = jnp.abs(m[:, 0, 1]) > jnp.abs(m[:, 1, 1])
-    r1inv = jnp.asarray(
-        [[0.0, 1.0, 0.0], [-1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], f32)
-    m = jnp.where(use_rot[:, None, None], r1inv @ m, m)
-    # img_rot(q) = img(R90 q) in centered coords == transpose + row flip.
-    img_rot = jnp.flip(jnp.transpose(images, (0, 2, 1, 3)), axis=1)
-    imgs = jnp.where(use_rot[:, None, None, None], img_rot, images)
-
-    a, bb, cc = m[:, 0, 0], m[:, 0, 1], m[:, 0, 2]
-    d, e, ff = m[:, 1, 0], m[:, 1, 1], m[:, 1, 2]
-    e = jnp.where(jnp.abs(e) < 1e-6, jnp.where(e < 0, -1e-6, 1e-6), e)
+    # Pass-scalar reduction shared with the Pallas form (ops/pallas_warp).
+    imgs, sc = _twopass_prep(images, mat, antialias)
+    a1, b1, c1, s1 = sc[:, 0], sc[:, 1], sc[:, 2], sc[:, 3]
+    d2, e2, c2, s2 = sc[:, 4], sc[:, 5], sc[:, 6], sc[:, 7]
 
     fast = get_precision_mode() == "fast"
     wdt = jnp.bfloat16 if fast else f32
@@ -234,30 +275,26 @@ def _affine_warp_twopass(images, mat, antialias=True):
         v = jnp.mod(v, period)
         return jnp.where(v > (n - 1), period - v, v)
 
-    xo = jnp.arange(w, dtype=f32) - ctr       # centered output x
-    rc = jnp.arange(h, dtype=f32) - ctr       # centered intermediate row
+    rows = jnp.arange(h, dtype=f32)
+    cols = jnp.arange(w, dtype=f32)
+    taps = jnp.arange(w, dtype=f32)
 
     # Pass 1 (horizontal): I1[b,r,j] = imgs[b, r, u(r, j)] where, solving
-    # y_out from the intermediate row v, u(r,j) = (bb/e)*r
-    # + (a - bb*d/e)*j + (cc - bb*ff/e).
-    u = ((bb / e)[:, None, None] * rc[None, :, None]
-         + (a - bb * d / e)[:, None, None] * xo[None, None, :]
-         + (cc - bb * ff / e)[:, None, None] + ctr)     # [B,H,W] array x
+    # y_out from the intermediate row v, u(r,j) = B1*r + A1*j + c1 with
+    # A1 = a - bb*d/e, B1 = bb/e (0-based coords; see _twopass_prep).
+    u = (b1[:, None, None] * rows[None, :, None]
+         + a1[:, None, None] * cols[None, None, :]
+         + c1[:, None, None])                           # [B,H,W] array x
     u = reflect(u, w)
-    taps = jnp.arange(w, dtype=f32)
-    one = jnp.ones((b,), f32)
-    # Local pass scales: d(u)/dj = det/e, d(v)/di = e.
-    s1 = jnp.maximum(1.0, jnp.abs(a - bb * d / e)) if antialias else one
-    s2 = jnp.maximum(1.0, jnp.abs(e)) if antialias else one
     w1 = _pass_weights(taps, u, s1[:, None, None, None])
     i1 = jnp.einsum("brjc,brck->brjk", w1.astype(wdt), imgs.astype(wdt),
                     precision=prec)
 
     # Pass 2 (vertical): out[b,i,j] = I1[b, v(i,j), j] with
-    # v(i,j) = d*x_out + e*y_out + ff.
-    v = (d[:, None, None] * xo[None, None, :]
-         + e[:, None, None] * rc[None, :, None]
-         + ff[:, None, None] + ctr)                      # [B,H,W] array y
+    # v(i,j) = E2*i + D2*j + c2.
+    v = (e2[:, None, None] * rows[None, :, None]
+         + d2[:, None, None] * cols[None, None, :]
+         + c2[:, None, None])                            # [B,H,W] array y
     v = reflect(v, h)
     w2 = _pass_weights(taps, v, s2[:, None, None, None])
     out = jnp.einsum("bijr,brjk->bijk", w2.astype(wdt), i1, precision=prec)

@@ -26,6 +26,10 @@ def main():
     ap.add_argument("--resolution", type=int, default=128)
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--pallas_warp", action="store_true",
+                    help="Route the ADA geometric warp through the fused "
+                         "Pallas kernel (ops/pallas_warp.py) in the "
+                         "'augment' block as well.")
     args = ap.parse_args()
 
     import jax
@@ -117,6 +121,46 @@ def main():
         f = ts.encode_geometry(cfg, ep, es, gg)
         return jnp.sum(f[0].astype(jnp.float32))
 
+    # Isolated geometric-warp A/B: the XLA two-pass (materialized
+    # interpolation matrices) vs the fused Pallas kernel (weights built in
+    # VMEM).  Same ADA-like transform distribution for both.
+    from brushstroke_engine_tpu.train.augment import _affine_warp_twopass
+    from brushstroke_engine_tpu.ops.pallas_warp import (
+        affine_warp_twopass_pallas, set_pallas_warp_enabled,
+    )
+    if args.pallas_warp:
+        set_pallas_warp_enabled(True)
+
+    def _rand_mats(kk):
+        k1, k2, k3 = jax.random.split(kk, 3)
+        t = jax.random.uniform(k1, (batch,), minval=-0.8, maxval=0.8)
+        s = jnp.exp2(jax.random.normal(k2, (batch, 2)) * 0.2)
+        tr = jax.random.uniform(k3, (batch, 2), minval=-0.125,
+                                maxval=0.125) * r
+        c, sn = jnp.cos(t), jnp.sin(t)
+        z0 = jnp.zeros_like(t)
+        o = jnp.ones_like(t)
+        return jnp.stack([
+            jnp.stack([c * s[:, 0], -sn * s[:, 1], tr[:, 0]], -1),
+            jnp.stack([sn * s[:, 0], c * s[:, 1], tr[:, 1]], -1),
+            jnp.stack([z0, z0, o], -1)], -2)
+
+    def warp_xla(img, kk):
+        return jnp.sum(_affine_warp_twopass(img, _rand_mats(kk))
+                       .astype(jnp.float32))
+
+    def warp_pallas(img, kk):
+        return jnp.sum(affine_warp_twopass_pallas(img, _rand_mats(kk))
+                       .astype(jnp.float32))
+
+    def warp_xla_grad(img, kk):
+        g = jax.grad(lambda im: warp_xla(im, kk))(img)
+        return jnp.sum(g.astype(jnp.float32))
+
+    def warp_pallas_grad(img, kk):
+        g = jax.grad(lambda im: warp_pallas(im, kk))(img)
+        return jnp.sum(g.astype(jnp.float32))
+
     blocks = {
         "g_fwd": (g_fwd, (state["g_params"], z)),
         "g_fwd_bwd": (g_fwd_bwd, (state["g_params"], z)),
@@ -125,7 +169,12 @@ def main():
         "r1_double": (r1_double, (state["d_params"], real)),
         "augment": (aug_only, (real,)),
         "encode": (enc_only, (geom,)),
+        "warp_xla": (warp_xla, (real,)),
+        "warp_xla_grad": (warp_xla_grad, (real,)),
     }
+    if r % 128 == 0 and jax.devices()[0].platform == "tpu":
+        blocks["warp_pallas"] = (warp_pallas, (real,))
+        blocks["warp_pallas_grad"] = (warp_pallas_grad, (real,))
 
     out = {}
     for name, (fn, xs) in blocks.items():
