@@ -24,6 +24,13 @@ def main():
     ap.add_argument("--resolution", type=int, default=128)
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--steps", type=int, default=8)
+    ap.add_argument("--production_loop", action="store_true",
+                    help="Drive the REAL TrainingLoop (host data feed, "
+                         "fused one-dispatch step, tick machinery) instead "
+                         "of the device-chained fori_loop: measures the "
+                         "production path including every host cost.")
+    ap.add_argument("--pallas_warp", action="store_true",
+                    help="Enable the fused Pallas ADA-warp kernel.")
     args = ap.parse_args()
 
     import jax
@@ -57,6 +64,13 @@ def main():
             g_reg_interval=4, d_reg_interval=16)
         state = init_train_state(cfg, jax.random.PRNGKey(0),
                                  g_params=b.gen_params, g_state=b.gen_state)
+    if args.pallas_warp:
+        from brushstroke_engine_tpu.ops.pallas_warp import \
+            set_pallas_warp_enabled
+        set_pallas_warp_enabled(True)
+    if args.production_loop:
+        _run_production_loop(args, cfg, b)
+        return
     dev = jax.devices()[0]
     state, ep, es = jax.device_put((state, b.enc_params, b.enc_state), dev)
 
@@ -121,6 +135,56 @@ def main():
                   f"{args.batch}, full phase cycle)",
         "value": round(imgs_per_sec, 1),
         "projected_days_for_10000kimg": round(days_for_10000kimg, 2),
+        "reference": "~2 weeks on 1 GPU (README.md:106)",
+    }))
+
+
+def _run_production_loop(args, cfg, b):
+    """Time the real TrainingLoop end-to-end: BatchIterator-style host
+    feed, fused single-dispatch step, deferred stat readback, tick
+    machinery -- the number production training actually sees."""
+    import tempfile
+    import time as _time
+
+    import jax
+    from brushstroke_engine_tpu.train.loop import TrainingLoop
+
+    n, r = args.batch, args.resolution
+    rng = np.random.RandomState(0)
+    style_pool = (rng.rand(4, n, r, r, 3) * 255).astype(np.uint8)
+    geom_pool = (rng.rand(4, n, r + 32, r + 32, 3) * 255).astype(np.uint8)
+
+    class PoolIter:
+        def __init__(self, pool):
+            self.pool, self.i = pool, 0
+
+        def __next__(self):
+            self.i += 1
+            return self.pool[self.i % len(self.pool)]
+
+    steps = max(args.steps, 16)
+    with tempfile.TemporaryDirectory() as run_dir:
+        # kimg_per_tick sized so the timed window ends on exactly ONE tick:
+        # per-batch host overhead is included, tick persistence (snapshot
+        # write + stat readback) is amortized over the whole window.
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, kimg_per_tick=max(steps * n // 1000, 1), ema_kimg=10.0)
+        loop = TrainingLoop(cfg, b.enc_params, b.enc_state,
+                            PoolIter(style_pool), PoolIter(geom_pool),
+                            run_dir=run_dir, seed=0, use_fused=True)
+        loop.run(total_kimg=2 * n / 1000.0)       # warmup: compile + cache
+        t0 = _time.perf_counter()
+        loop.run(total_kimg=(2 + steps) * n / 1000.0)
+        dt = _time.perf_counter() - t0
+    imgs_per_sec = steps * n / dt
+    print(json.dumps({
+        "metric": f"production-loop train imgs/sec/chip ({r}px, batch {n}, "
+                  f"fused step, host feed included)",
+        "value": round(imgs_per_sec, 1),
+        "pallas_warp": bool(args.pallas_warp),
+        "projected_days_for_10000kimg": round(
+            10000e3 / imgs_per_sec / 86400, 2),
         "reference": "~2 weeks on 1 GPU (README.md:106)",
     }))
 

@@ -90,9 +90,8 @@ def main():
                        .astype(jnp.float32))
 
     def d_fwd_noaug(d_params, img, kk):
-        no_aug_cfg = cfg
-        logits = ts._run_d(cfg.replace(augment=None)
-                           if hasattr(cfg, "replace") else cfg,
+        import dataclasses
+        logits = ts._run_d(dataclasses.replace(cfg, augment=None),
                            d_params, img, kk, ada_p)
         return jnp.sum(logits.astype(jnp.float32))
 
