@@ -85,7 +85,6 @@ def _unpack(s_ref):
 def _pass1_weights(r0, a1, b1, c1, inv1, w):
     """[_RB, W_out(j), W_in(k)] triangle rows for intermediate rows r0..r0+8."""
     f32 = jnp.float32
-    from jax.experimental import pallas as pl  # noqa: F401  (doc anchor)
     rr = jax.lax.broadcasted_iota(f32, (_RB, w), 0) + r0.astype(f32)
     jj = jax.lax.broadcasted_iota(f32, (_RB, w), 1)
     u = _reflect(b1 * rr + a1 * jj + c1, w)                 # [RB, Wj]
@@ -206,11 +205,12 @@ def _warp_prepped(imgs, scalars):
 
 
 def _warp_fwd(imgs, scalars):
-    return _warp_prepped(imgs, scalars), (scalars, imgs.shape)
+    # The warp is linear in imgs: only the scalar pack is needed to
+    # replay the transposed weights.
+    return _warp_prepped(imgs, scalars), scalars
 
 
-def _warp_bwd(res, g):
-    scalars, _ = res
+def _warp_bwd(scalars, g):
     gt = jnp.transpose(g.astype(jnp.float32), (0, 1, 3, 2))
     xbar = _call(_bwd_kernel, gt, scalars, [])
     # Scalar pack cotangent is zero by design (see module docstring).
