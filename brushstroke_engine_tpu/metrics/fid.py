@@ -103,6 +103,12 @@ def get_default_extractor() -> Detector:
     """Active detector: a real Inception-v3 when ``NEUBE_FID_DETECTOR``
     points at a weights file, else the labeled random fallback."""
     global _DEFAULT
+    if _DEFAULT is not None:
+        from brushstroke_engine_tpu.utils.util import tree_on_stale_backend
+        tree = _DEFAULT.params if isinstance(_DEFAULT, InceptionV3) \
+            else _DEFAULT.convs
+        if tree_on_stale_backend(tree):
+            _DEFAULT = None              # backend was torn down; rebuild
     if _DEFAULT is None:
         from brushstroke_engine_tpu.utils.weights import find_weights
         path = find_weights("inception")

@@ -97,6 +97,10 @@ def get_default_model() -> LPIPSModel:
     """Real LPIPS-Alex when installed (utils.weights registry), else the
     labeled random fallback."""
     global _DEFAULT_MODEL
+    if _DEFAULT_MODEL is not None:
+        from brushstroke_engine_tpu.utils.util import tree_on_stale_backend
+        if tree_on_stale_backend(_DEFAULT_MODEL.convs):
+            _DEFAULT_MODEL = None        # backend was torn down; rebuild
     if _DEFAULT_MODEL is None:
         from brushstroke_engine_tpu.utils.weights import find_weights
         path = find_weights("lpips")

@@ -34,6 +34,28 @@ def commit_to_default_device(tree):
     return jax.device_put(tree, dev)
 
 
+def tree_on_stale_backend(tree) -> bool:
+    """True if any committed leaf lives on a torn-down backend.
+
+    ``jax.extend.backend.clear_backends()`` (used by the multichip dryrun
+    bootstrap and by host-device reconfiguration) invalidates every
+    existing ``jax.Array``: its device object belongs to the dead client
+    and mixing it with fresh arrays raises "incompatible devices" even
+    though both print as device 0.  Module-level weight caches (FID /
+    LPIPS detectors) must rebuild when this happens.
+    """
+    import jax
+    leaves = [x for x in jax.tree_util.tree_leaves(tree)
+              if isinstance(x, jax.Array)]
+    if not leaves:
+        return False
+    live = set(jax.devices())
+    try:
+        return any(not (x.devices() <= live) for x in leaves)
+    except Exception:
+        return True
+
+
 class EasyDict(dict):
     """Attribute-access dict (reference dnnlib.util.EasyDict)."""
 

@@ -87,6 +87,30 @@ def test_graft_dryrun():
     dryrun_multichip(8)
 
 
+def test_detector_caches_survive_backend_reset():
+    """The dryrun bootstrap calls jax.extend.backend.clear_backends(),
+    which strands any cached device-committed weight tree on a dead
+    client ("incompatible devices" even though both sides print as
+    device 0).  The FID/LPIPS singletons must detect this and rebuild
+    (utils.util.tree_on_stale_backend)."""
+    import jax.extend.backend
+    from brushstroke_engine_tpu.metrics import fid as fid_mod
+    from brushstroke_engine_tpu.metrics import lpips as lpips_mod
+
+    lpips_model = lpips_mod.get_default_model()
+    detector = fid_mod.get_default_extractor()
+    jax.extend.backend.clear_backends()
+    # Both getters must hand back models usable with FRESH arrays.
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 32, 32, 3), jnp.float32)
+    d = lpips_mod.lpips_batched(x, x * 0.5 + 0.1)
+    assert np.all(np.isfinite(np.asarray(d)))
+    f = fid_mod.extract_features(x)
+    assert np.all(np.isfinite(np.asarray(f)))
+    # And the stale objects were actually replaced, not reused.
+    assert lpips_mod.get_default_model() is not lpips_model
+    assert fid_mod.get_default_extractor() is not detector
+
+
 def test_training_loop_dp_fused(tmp_path):
     """mesh= and use_fused= compose: the single-dispatch fused step runs
     SPMD from input shardings alone."""
