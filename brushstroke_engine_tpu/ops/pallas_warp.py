@@ -37,6 +37,14 @@ and are never differentiated (matching the XLA path's use).
 Ships DISABLED by default until a measured on-chip win is recorded
 (repo stance established by pallas_fir.py); enable with
 :func:`set_pallas_warp_enabled`.
+
+Multi-chip caveat: a ``pallas_call`` has no GSPMD partitioning rule, so
+under a mesh-sharded jit (the ``--dp`` fused step) the call must be
+wrapped in ``shard_map`` over the batch axis -- per-sample independence
+makes that trivially correct, but the wrapper needs the mesh, which the
+augment pipe does not see.  Until the single-chip A/B justifies it, the
+kernel is for single-device (or per-shard) use; do not combine
+``set_pallas_warp_enabled(True)`` with ``TrainingLoop(mesh=...)``.
 """
 
 from __future__ import annotations
