@@ -34,9 +34,12 @@ nothing saved but the 8 pass scalars).  The cotangent for the pass-scalar
 pack is ZERO: ADA transform matrices are pure functions of the RNG draw
 and are never differentiated (matching the XLA path's use).
 
-Ships DISABLED by default until a measured on-chip win is recorded
-(repo stance established by pallas_fir.py); enable with
-:func:`set_pallas_warp_enabled`.
+Ships DISABLED by default; enable with :func:`set_pallas_warp_enabled`.
+On-chip A/B (docs/ARCHITECTURE.md round-3 roofline table): 1.76x over
+XLA for the strict-f32 128px forward and always f32-accurate, but in
+the production fast/bf16 training config XLA's half-traffic einsum is
+already near the bandwidth bound and the full-cycle effect is noise
+(685 vs 688 imgs/s), so the default stays off.
 
 Multi-chip caveat: a ``pallas_call`` has no GSPMD partitioning rule, so
 under a mesh-sharded jit (the ``--dp`` fused step) the call must be
@@ -77,26 +80,35 @@ def _reflect(v, n):
     return jnp.where(v > (n - 1.0), period - v, v)
 
 
-def _unpack(s_ref):
+def _unpack(s_ref, i):
+    # s_ref is the WHOLE [B, 8] scalar pack in SMEM (Mosaic rejects
+    # per-batch-row SMEM blocks: sublane block extents must be 8-divisible
+    # or whole); row selection happens here via the grid index.
     f32 = jnp.float32
-    a1 = s_ref[0, 0].astype(f32)
-    b1 = s_ref[0, 1].astype(f32)
-    c1 = s_ref[0, 2].astype(f32)
-    inv1 = 1.0 / s_ref[0, 3].astype(f32)
-    d2 = s_ref[0, 4].astype(f32)
-    e2 = s_ref[0, 5].astype(f32)
-    c2 = s_ref[0, 6].astype(f32)
-    inv2 = 1.0 / s_ref[0, 7].astype(f32)
+    a1 = s_ref[i, 0].astype(f32)
+    b1 = s_ref[i, 1].astype(f32)
+    c1 = s_ref[i, 2].astype(f32)
+    inv1 = 1.0 / s_ref[i, 3].astype(f32)
+    d2 = s_ref[i, 4].astype(f32)
+    e2 = s_ref[i, 5].astype(f32)
+    c2 = s_ref[i, 6].astype(f32)
+    inv2 = 1.0 / s_ref[i, 7].astype(f32)
     return a1, b1, c1, inv1, d2, e2, c2, inv2
+
+
+def _iota_f32(shape, dim):
+    # Mosaic's tpu.iota only produces integers; build int32 and cast.
+    return jax.lax.broadcasted_iota(jnp.int32, shape, dim) \
+        .astype(jnp.float32)
 
 
 def _pass1_weights(r0, a1, b1, c1, inv1, w):
     """[_RB, W_out(j), W_in(k)] triangle rows for intermediate rows r0..r0+8."""
     f32 = jnp.float32
-    rr = jax.lax.broadcasted_iota(f32, (_RB, w), 0) + r0.astype(f32)
-    jj = jax.lax.broadcasted_iota(f32, (_RB, w), 1)
+    rr = _iota_f32((_RB, w), 0) + r0.astype(f32)
+    jj = _iota_f32((_RB, w), 1)
     u = _reflect(b1 * rr + a1 * jj + c1, w)                 # [RB, Wj]
-    kk = jax.lax.broadcasted_iota(f32, (_RB, w, w), 2)
+    kk = _iota_f32((_RB, w, w), 2)
     wgt = jnp.maximum(0.0, 1.0 - jnp.abs(kk - u[:, :, None]) * inv1)
     return wgt / jnp.maximum(wgt.sum(-1, keepdims=True), 1e-8)
 
@@ -104,7 +116,7 @@ def _pass1_weights(r0, a1, b1, c1, inv1, w):
 def _pass2_weights(i_idx, d2, e2, c2, inv2, h, w, rgrid):
     """[H_in(r), W(j)] triangle column weights for output row i_idx."""
     f32 = jnp.float32
-    jrow = jax.lax.broadcasted_iota(f32, (1, w), 1)
+    jrow = _iota_f32((1, w), 1)
     v = _reflect(e2 * i_idx.astype(f32) + d2 * jrow + c2, h)    # [1, W]
     w2 = jnp.maximum(0.0, 1.0 - jnp.abs(rgrid - v) * inv2)      # [Hr, W]
     return w2 / jnp.maximum(w2.sum(0, keepdims=True), 1e-8)
@@ -114,7 +126,7 @@ def _fwd_kernel(x_ref, s_ref, o_ref, i1, row_buf):
     _, h, c, w = x_ref.shape
     from jax.experimental import pallas as pl
     f32 = jnp.float32
-    a1, b1, c1, inv1, d2, e2, c2, inv2 = _unpack(s_ref)
+    a1, b1, c1, inv1, d2, e2, c2, inv2 = _unpack(s_ref, pl.program_id(0))
 
     def pass1(rb, carry):
         r0 = rb * _RB
@@ -127,7 +139,7 @@ def _fwd_kernel(x_ref, s_ref, o_ref, i1, row_buf):
 
     jax.lax.fori_loop(0, h // _RB, pass1, 0)
 
-    rgrid = jax.lax.broadcasted_iota(f32, (h, w), 0)
+    rgrid = _iota_f32((h, w), 0)
     i1v = i1[...]                                           # [Hr, C, W]
 
     def pass2(ib, carry):
@@ -145,11 +157,11 @@ def _bwd_kernel(g_ref, s_ref, o_ref, i1b):
     _, h, c, w = g_ref.shape
     from jax.experimental import pallas as pl
     f32 = jnp.float32
-    a1, b1, c1, inv1, d2, e2, c2, inv2 = _unpack(s_ref)
+    a1, b1, c1, inv1, d2, e2, c2, inv2 = _unpack(s_ref, pl.program_id(0))
 
     # Pass 2 transpose: i1_bar[r,c,j] = sum_i w2[i,r,j] * g[i,c,j],
     # accumulated over 8-row cotangent blocks in a VMEM-value carry.
-    rgrid = jax.lax.broadcasted_iota(f32, (h, w), 0)
+    rgrid = _iota_f32((h, w), 0)
 
     def pass2t(ib, acc):
         i0 = ib * _RB
@@ -188,7 +200,7 @@ def _call(kernel, x, scalars, extra_scratch):
         in_specs=[
             pl.BlockSpec((1, h, c, w), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8), lambda i: (i, 0),
+            pl.BlockSpec((b, 8), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, h, c, w), lambda i: (i, 0, 0, 0),
@@ -212,20 +224,41 @@ def _warp_prepped(imgs, scalars):
     return jnp.transpose(out, (0, 1, 3, 2))
 
 
+@jax.custom_vjp
+def _warp_transposed(g, scalars):
+    """Apply the TRANSPOSED warp W^T to a cotangent batch [B,H,W,C]."""
+    gt = jnp.transpose(g, (0, 1, 3, 2))                     # [B,H,C,W]
+    xbar = _call(_bwd_kernel, gt, scalars, [])
+    return jnp.transpose(xbar, (0, 1, 3, 2))
+
+
+# The warp is linear in the image, so W and W^T are each other's VJP and
+# only the scalar pack is needed to replay the weights.  Defining BOTH
+# directions as custom_vjp's of each other makes the pair differentiable
+# to arbitrary order (the Dr1 phase reverse-diffs through the backward
+# pass: D(aug(x)) -> grad wrt x -> grad of the penalty wrt D params).
+# Scalar-pack cotangents are zero by design (module docstring): ADA
+# matrices are pure RNG functions and never differentiated.
 def _warp_fwd(imgs, scalars):
-    # The warp is linear in imgs: only the scalar pack is needed to
-    # replay the transposed weights.
     return _warp_prepped(imgs, scalars), scalars
 
 
 def _warp_bwd(scalars, g):
-    gt = jnp.transpose(g.astype(jnp.float32), (0, 1, 3, 2))
-    xbar = _call(_bwd_kernel, gt, scalars, [])
-    # Scalar pack cotangent is zero by design (see module docstring).
-    return jnp.transpose(xbar, (0, 1, 3, 2)), jnp.zeros_like(scalars)
+    return (_warp_transposed(g.astype(jnp.float32), scalars),
+            jnp.zeros_like(scalars))
+
+
+def _warp_t_fwd(g, scalars):
+    return _warp_transposed(g, scalars), scalars
+
+
+def _warp_t_bwd(scalars, h):
+    return (_warp_prepped(h.astype(jnp.float32), scalars),
+            jnp.zeros_like(scalars))
 
 
 _warp_prepped.defvjp(_warp_fwd, _warp_bwd)
+_warp_transposed.defvjp(_warp_t_fwd, _warp_t_bwd)
 
 
 def affine_warp_twopass_pallas(images, mat, antialias=True):
