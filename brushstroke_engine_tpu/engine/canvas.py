@@ -149,6 +149,13 @@ class PaintingHelper:
     # ----- canvas management -----
 
     def make_new_canvas(self, rows, cols, feature_blending=None):
+        pw = getattr(self.engine, "patch_width", 0) or 0
+        if rows < pw or cols < pw:
+            # A canvas smaller than one generator patch has no valid render
+            # geometry (the blend/update masks are patch-sized); fail with a
+            # protocol-level message instead of a deep broadcasting error.
+            raise ValueError(
+                f"canvas {rows}x{cols} smaller than patch_width {pw}")
         self.geom_canvas = np.ones((rows, cols), np.float32)
         logger.info(f"Requesting new canvas {rows}x{cols}")
         self.set_feature_blending(self.feature_blending_level

@@ -215,6 +215,18 @@ class TestPaintingHelper:
         assert meta2 == {"x": 16, "y": 0}
         assert helper.feature_canvas.mask.any()
 
+    def test_canvas_smaller_than_patch_rejected(self):
+        # A sub-patch canvas has no valid render geometry; must fail with a
+        # clear protocol-level error, not a deep mask-broadcast crash
+        # (found by driving the live server with a 1x1 new_canvas).
+        eng = make_engine()
+        helper = PaintingHelper(eng, style_seed=0)
+        with pytest.raises(ValueError, match="smaller than patch_width"):
+            helper.make_new_canvas(1, 1, feature_blending=1)
+        with pytest.raises(ValueError, match="smaller than patch_width"):
+            helper.make_new_canvas(eng.patch_width, eng.patch_width - 1,
+                                   feature_blending=0)
+
     def test_overlap_blending_reduces_seam(self):
         """Rendering the same geometry at the same position twice with
         blending returns a (near-)identical patch: stored features dominate."""
