@@ -100,6 +100,30 @@ class TestPallasWarp:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-4, atol=2e-4)
 
+    def test_second_order_grad_matches(self):
+        """The Dr1 pattern: reverse-diff THROUGH the warp's backward pass
+        (grad of an |d logits/d x|^2 penalty wrt x).  Exercises the
+        mutually-recursive custom VJPs -- a raw pallas_call in the
+        backward has no JVP rule and used to break this phase."""
+        imgs = _images(2)
+        mat = _mats(("rotate", "scale"))
+        wvec = jnp.asarray(RNG.randn(3).astype(np.float32))
+
+        def penalty(warp, x):
+            def logits(xx):
+                return jnp.sum(jnp.sin(warp(xx, mat)) * wvec)
+            g = jax.grad(logits)(x)
+            return jnp.sum(g * g)
+
+        want = jax.grad(
+            lambda x: penalty(aug._affine_warp_twopass, x))(imgs)
+        with pltpu.force_tpu_interpret_mode():
+            got = jax.grad(
+                lambda x: penalty(pw.affine_warp_twopass_pallas, x))(imgs)
+        scale = float(jnp.max(jnp.abs(want)))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4 * max(scale, 1.0))
+
     def test_dispatch_flag(self):
         imgs = _images(1)
         mat = _mats(("translate",))
