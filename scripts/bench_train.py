@@ -31,6 +31,10 @@ def main():
                          "production path including every host cost.")
     ap.add_argument("--pallas_warp", action="store_true",
                     help="Enable the fused Pallas ADA-warp kernel.")
+    ap.add_argument("--num_bf16_res", type=int, default=4,
+                    help="Run G/D in bf16 at the N highest resolutions "
+                         "(4 = the reference 'auto' fp16 spec; 99 = whole "
+                         "net bf16, a TPU-only experiment).")
     args = ap.parse_args()
 
     import jax
@@ -53,11 +57,12 @@ def main():
     with jax.default_device(cpu):
         # num_bf16_res=4: reference 'auto' config trains with fp16 at the
         # 4 highest resolutions (train.py cfg specs); bf16 is the TPU analog.
-        b = flagship_bundle(img_resolution=args.resolution, num_bf16_res=4)
+        b = flagship_bundle(img_resolution=args.resolution,
+                            num_bf16_res=args.num_bf16_res)
         cfg = TrainConfig(
             gen_cfg=b.gen_cfg,
-            disc_cfg=flagship_discriminator_config(args.resolution,
-                                                   num_bf16_res=4),
+            disc_cfg=flagship_discriminator_config(
+                args.resolution, num_bf16_res=args.num_bf16_res),
             enc_cfg=b.enc_cfg, enc_res=(0, 1), batch_size=args.batch,
             main_phase_losses="", geom_phase_losses="1.0*iou_inv(uvs)",
             augment=AugmentConfig.from_spec("bgc"),
