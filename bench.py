@@ -31,9 +31,10 @@ import time
 import numpy as np
 
 REF_PATCHES_PER_SEC_GPU = 25.0
-# Batch 128 saturates the v5e chip for this pipeline (measured patches/s:
-# B=16 2411, B=32 2742, B=64 2957, B=128 4067, B=256 4075); production
-# serving batches tile renders exactly like this.
+# Batch 128 saturates the v5e chip for this pipeline (synthesis-only batch
+# sweep: B=16 2411, B=32 2742, B=64 2957, B=128 4067, B=256 4075 patches/s;
+# the honest full-pipeline number at B=128 is ~2953); production serving
+# batches tile renders exactly like this.
 BATCH = 128
 LOOP_ITERS = 32
 RESOLUTION = 256
@@ -77,7 +78,14 @@ def main():
     def render_many(gp, gs, ep, es, z0, geom, positions):
         def body(i, acc):
             # Full pipeline per iteration: encode + synthesize + composite.
-            feats = geo_encoder_encode(enc_cfg, ep, es, geom, res=enc_res)
+            # The geometry must DEPEND on the loop index: with an invariant
+            # `geom`, XLA hoists the entire encoder out of the loop and the
+            # benchmark silently measures synthesis only (caught in round 3
+            # by scripts/microbench_render_parts.py: synthesis alone timed
+            # within 2 ms of the "full" pipeline).  Production stylize/
+            # serving encodes fresh geometry for every patch.
+            geom_i = jnp.roll(geom, i, axis=0)
+            feats = geo_encoder_encode(enc_cfg, ep, es, geom_i, res=enc_res)
             z = z0 + (0.01 * i)
             img, debug, _ = generator_apply(
                 gen_cfg, gp, gs, z=z, geom_features=feats,

@@ -97,20 +97,25 @@ def main():
         def body(i, carry):
             state, key = carry
             # Encode INSIDE the loop: real training encodes fresh geometry
-            # every batch (loop.py), so the number must include it.
-            feats = ts.encode_geometry(cfg, ep, es, geom)
+            # every batch (loop.py), so the number must include it.  Roll
+            # the batch by the loop index or XLA hoists the (invariant)
+            # encoder out of the loop entirely; --production_loop measures
+            # the real host-fed TrainingLoop and needs no such care.
+            geom_i = jnp.roll(geom, i, axis=0)
+            real_i = jnp.roll(real, i, axis=0)
+            feats = ts.encode_geometry(cfg, ep, es, geom_i)
             key, k1, k2, k3, k4, kz1, kz2 = jax.random.split(key, 7)
             z1 = jax.random.normal(kz1, (n, cfg.gen_cfg.z_dim))
             z2 = jax.random.normal(kz2, (n, cfg.gen_cfg.z_dim))
-            state, _ = d_main(cfg, state, real, feats, z1, k1)
+            state, _ = d_main(cfg, state, real_i, feats, z1, k1)
 
             def dreg(s):
-                s2, _ = d_reg(cfg, s, real, k2)
+                s2, _ = d_reg(cfg, s, real_i, k2)
                 return s2
 
             state = jax.lax.cond(i % cfg.d_reg_interval == 0, dreg,
                                  lambda s: s, state)
-            state, _ = g_main(cfg, state, feats, geom, z2, k3,
+            state, _ = g_main(cfg, state, feats, geom_i, z2, k3,
                               jnp.float32(0.999))
 
             def greg(s):
