@@ -45,6 +45,9 @@ from brushstroke_engine_tpu.ops.upfirdn import (
 
 def _dense_conv(x, w, strides=(1, 1), padding=((0, 0), (0, 0)),
                 lhs_dilation=(1, 1), groups: int = 1):
+    from brushstroke_engine_tpu.ops.quant import quantizable, quantized_conv
+    if quantizable(x, strides, lhs_dilation, groups):
+        return quantized_conv(x, w.astype(x.dtype), padding)
     from brushstroke_engine_tpu.ops.precision import conv_precision
     precision = conv_precision(x.dtype)
     out = jax.lax.conv_general_dilated(

@@ -566,9 +566,19 @@ def run_main(argv=None):
     ap.add_argument("--no_warmup", action="store_true",
                     help="Skip pre-compiling the render programs at "
                          "startup (first stroke then pays the compile).")
+    ap.add_argument("--precision", choices=["fast", "strict"],
+                    default="fast",
+                    help="Serving conv/matmul precision. 'fast' (default) "
+                         "uses native TPU passes (bf16-grade on f32 "
+                         "layers); 'strict' forces full-f32 6-pass convs "
+                         "for golden-parity debugging -- several times "
+                         "slower and never needed to serve.")
     ap.add_argument("--log_level", type=int, default=logging.INFO)
     args = ap.parse_args(argv)
     logging.basicConfig(level=args.log_level)
+
+    from brushstroke_engine_tpu.ops.precision import set_precision_mode
+    set_precision_mode(args.precision)
 
     from brushstroke_engine_tpu.utils.compile_cache import \
         enable_persistent_cache

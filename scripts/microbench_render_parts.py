@@ -24,6 +24,10 @@ def main():
     ap.add_argument("--resolution", type=int, default=256)
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--iters", type=int, default=16)
+    ap.add_argument("--int8", action="store_true",
+                    help="Route stride-1 synthesis convs through the int8 "
+                         "MXU path (ops/quant.py) -- the A/B harness for "
+                         "its measured-negative in-situ verdict.")
     args = ap.parse_args()
 
     import jax
@@ -38,6 +42,9 @@ def main():
     from brushstroke_engine_tpu.ops.precision import set_precision_mode
 
     set_precision_mode("fast")
+    if args.int8:
+        from brushstroke_engine_tpu.ops.quant import set_int8_inference
+        set_int8_inference(True)
     r, batch = args.resolution, args.batch
     cpu = jax.devices("cpu")[0]
     dev = jax.devices()[0]

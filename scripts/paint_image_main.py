@@ -61,9 +61,16 @@ def main():
                          "loop.")
     ap.add_argument("--on_white", action="store_true")
     ap.add_argument("--no_binarize", action="store_true")
+    ap.add_argument("--precision", choices=["fast", "strict"],
+                    default="fast",
+                    help="'fast' (default) = native TPU conv passes; "
+                         "'strict' = full-f32 for parity debugging.")
     ap.add_argument("--log_level", type=int, default=logging.INFO)
     args = ap.parse_args()
     logging.basicConfig(level=args.log_level)
+
+    from brushstroke_engine_tpu.ops.precision import set_precision_mode
+    set_precision_mode(args.precision)
 
     import PIL.Image
     from brushstroke_engine_tpu.engine.brush import (
