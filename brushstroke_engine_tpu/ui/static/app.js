@@ -305,6 +305,32 @@
     sendNewCanvas();
   };
   $("newLayer").onclick = function () { pushUndo(); bakeLayer(); };
+  // Download the composed painting (baked layers + active layer) as PNG,
+  // or the raw user stroke geometry (reference downloadAll/downloadStroke,
+  // main_controller.js).
+  function downloadCanvas(draw, name) {
+    const out = document.createElement("canvas");
+    out.width = paint.width;
+    out.height = paint.height;
+    draw(out.getContext("2d"));
+    const a = document.createElement("a");
+    a.href = out.toDataURL("image/png");
+    a.download = name;
+    a.click();
+  }
+  $("downloadPainting").onclick = function () {
+    downloadCanvas(function (ctx) {
+      ctx.fillStyle = "#ffffff";
+      ctx.fillRect(0, 0, paint.width, paint.height);
+      ctx.drawImage(baked, 0, 0);
+      ctx.drawImage(paint, 0, 0);
+    }, "painting.png");
+  };
+  $("downloadStroke").onclick = function () {
+    downloadCanvas(function (ctx) {
+      ctx.drawImage(stroke, 0, 0);
+    }, "stroke.png");
+  };
   $("renderMode").onchange = function (ev) {
     sendJSON({ type: "set_render_mode", mode: ev.target.value });
   };
