@@ -54,7 +54,7 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--gan_checkpoint", required=True)
     ap.add_argument("--encoder_checkpoint", default=None)
-    ap.add_argument("--target_image", required=True,
+    ap.add_argument("--target_image", required=True, nargs="+",
                     help="Artwork image to project.")
     ap.add_argument("--output_dir", required=True)
     ap.add_argument("--style_name", default=None)
@@ -74,13 +74,11 @@ def main():
 
     from brushstroke_engine_tpu.engine.brush import PaintEngineFactory
     from brushstroke_engine_tpu.tools.projection import (
-        project, ProjectionConfig,
+        project, project_parallel, ProjectionConfig,
     )
 
     engine = PaintEngineFactory.create(
         args.gan_checkpoint, encoder_checkpoint=args.encoder_checkpoint)
-    style_name = args.style_name or os.path.splitext(
-        os.path.basename(args.target_image))[0]
     os.makedirs(args.output_dir, exist_ok=True)
     lib_path = os.path.join(args.output_dir, args.library_name)
 
@@ -88,12 +86,17 @@ def main():
     if os.path.isfile(lib_path):
         with open(lib_path, "rb") as f:
             library = pickle.load(f)
-        if args.skip_existing and style_name in library:
-            logger.info("Style %s already projected; skipping", style_name)
-            return
 
-    target, geom = load_target_patches(
-        args.target_image, engine.patch_width, args.num_patches, args.seed)
+    names = [args.style_name] if (args.style_name
+                                  and len(args.target_image) == 1) else \
+        [os.path.splitext(os.path.basename(p))[0]
+         for p in args.target_image]
+    jobs = [(nm, p) for nm, p in zip(names, args.target_image)
+            if not (args.skip_existing and nm in library)]
+    for nm in set(names) - {nm for nm, _ in jobs}:
+        logger.info("Style %s already projected; skipping", nm)
+    if not jobs:
+        return
 
     cfg = ProjectionConfig(
         num_steps=args.num_steps, w_plus=bool(args.w_plus),
@@ -101,17 +104,29 @@ def main():
         l1_fg_weight=args.l1_fg_weight, bg_weight=args.bg_weight,
         with_composite=args.with_composite,
         regularize_noise_weight=args.regularize_noise_weight)
-    result = project(engine, target, geom, cfg, seed=args.seed)
 
-    npz_path = os.path.join(args.output_dir, f"{style_name}.npz")
-    np.savez(npz_path, w=result["w"], bg=result["bg"],
-             step=result["step"],
-             **{f"noise/{k}": v for k, v in result["noise"].items()})
-    library[style_name] = {"w": result["w"], "noise": result["noise"]}
+    pairs = [load_target_patches(p, engine.patch_width, args.num_patches,
+                                 args.seed) for _, p in jobs]
+    if len(jobs) == 1:
+        results = [project(engine, pairs[0][0], pairs[0][1], cfg,
+                           seed=args.seed)]
+    else:
+        # All styles optimize simultaneously in one vmapped chip program
+        # (the reference loops one ~1000-step run per artwork).
+        results = project_parallel(
+            engine, np.stack([t for t, _ in pairs]),
+            np.stack([g for _, g in pairs]), cfg, seed=args.seed)
+
+    for (style_name, _), result in zip(jobs, results):
+        npz_path = os.path.join(args.output_dir, f"{style_name}.npz")
+        np.savez(npz_path, w=result["w"], bg=result["bg"],
+                 step=result["step"],
+                 **{f"noise/{k}": v for k, v in result["noise"].items()})
+        library[style_name] = {"w": result["w"], "noise": result["noise"]}
+        print(f"Projected {style_name}: lpips {result['lpips']:.4f} "
+              f"-> {npz_path}; library {lib_path}")
     with open(lib_path, "wb") as f:
         pickle.dump(library, f)
-    print(f"Projected {style_name}: lpips {result['lpips']:.4f} "
-          f"-> {npz_path}; library {lib_path}")
 
 
 if __name__ == "__main__":

@@ -86,6 +86,36 @@ class TestProjection:
             assert abs(float(np.mean(v))) < 0.2
             assert 0.5 < float(np.mean(np.square(v))) < 2.0
 
+    def test_project_parallel_two_styles(self):
+        """N independent styles in one vmapped program: both fit their own
+        target and the results are style-specific."""
+        eng = make_engine()
+        from brushstroke_engine_tpu.engine.brush import GanBrushOptions
+        from brushstroke_engine_tpu.tools.projection import project_parallel
+        geom = next(geometry_batches())
+        targets, geoms = [], []
+        for s in (3, 11):
+            opts = GanBrushOptions()
+            opts.set_style(np.tile(eng.random_style(s), (2, 1)), s)
+            out = eng._run_core(geom, opts)
+            targets.append(np.asarray(out["raw_img"]))
+            geoms.append(geom)
+        cfg = ProjectionConfig(num_steps=20, w_avg_samples=128,
+                               optimize_noise=True,
+                               min_lpips_improvement=-1.0)
+        results = project_parallel(eng, np.stack(targets), np.stack(geoms),
+                                   cfg, seed=0, log_every=10)
+        assert len(results) == 2
+        for res in results:
+            assert res["w"].shape == (1, eng.gen_cfg.num_ws,
+                                      eng.gen_cfg.w_dim)
+            assert np.isfinite(res["lpips"])
+            for v in res["noise"].values():
+                assert abs(float(np.mean(v))) < 0.2
+                assert 0.5 < float(np.mean(np.square(v))) < 2.0
+        # Different targets must optimize to different styles.
+        assert float(np.max(np.abs(results[0]["w"] - results[1]["w"]))) > 1e-3
+
     def test_project_resume(self):
         eng = make_engine()
         geom = next(geometry_batches())
