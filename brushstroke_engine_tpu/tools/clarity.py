@@ -73,8 +73,7 @@ def optimize_style_clarity(engine, w_init, geometry_batches,
             noise_buffers=noise_buffers, return_debug_data=True)
         return img, debug
 
-    @partial(jax.jit, donate_argnums=(0, 1))
-    def step_fn(params, opt_state, geom, key):
+    def step_once(params, opt_state, geom, key):
         feats = geo_encoder_encode(engine.enc_cfg, engine.enc_params,
                                    engine.enc_state, geom,
                                    res=list(engine.enc_res))
@@ -94,14 +93,33 @@ def optimize_style_clarity(engine, w_init, geometry_batches,
         params = optax.apply_updates(params, updates)
         return params, opt_state, total
 
+    # One dispatch per LOG interval, not per step: scan over a stacked
+    # chunk of geometry batches (a host loop pays a dispatch round trip
+    # per step -- ruinous over the dev-TPU tunnel, wasteful anywhere).
+    @partial(jax.jit, donate_argnums=(0, 1), static_argnames=("k",))
+    def run_chunk(params, opt_state, geoms, key, k):
+        def body(carry, xs):
+            params, opt_state = carry
+            geom, i = xs
+            params, opt_state, total = step_once(
+                params, opt_state, geom, jax.random.fold_in(key, i))
+            return (params, opt_state), total
+        (params, opt_state), totals = jax.lax.scan(
+            body, (params, opt_state), (geoms, jnp.arange(k)))
+        return params, opt_state, totals[-1]
+
     key = jax.random.PRNGKey(seed)
     total = jnp.inf
-    for step in range(cfg.num_steps):
+    step = 0
+    while step < cfg.num_steps:
+        k = min(50, cfg.num_steps - step)
+        geoms = jnp.asarray(np.stack(
+            [next(geometry_batches) for _ in range(k)]), jnp.float32)
         key, sub = jax.random.split(key)
-        geom = jnp.asarray(next(geometry_batches), jnp.float32)
-        params, opt_state, total = step_fn(params, opt_state, geom, sub)
-        if step % 50 == 0:
-            logger.info("clarity step %d: loss %.4f", step, float(total))
+        params, opt_state, total = run_chunk(params, opt_state, geoms,
+                                             sub, k)
+        step += k
+        logger.info("clarity step %d: loss %.4f", step, float(total))
     return {"w": np.asarray(params["w"]), "loss": float(total)}
 
 

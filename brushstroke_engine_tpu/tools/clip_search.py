@@ -226,8 +226,7 @@ class ClipStyleOptimizer:
         opt = optax.adam(cfg.learning_rate)
         opt_state = opt.init(params)
 
-        @partial(jax.jit, donate_argnums=(0, 1))
-        def step_fn(params, opt_state, geom):
+        def step_once(params, opt_state, geom):
             feats = geo_encoder_encode(engine.enc_cfg, engine.enc_params,
                                        engine.enc_state, geom,
                                        res=list(engine.enc_res))
@@ -262,14 +261,30 @@ class ClipStyleOptimizer:
             params = optax.apply_updates(params, updates)
             return params, opt_state, total, clip_loss
 
+        # One dispatch per log interval (see tools/clarity.py): scan over
+        # a stacked chunk of geometry batches instead of a host step loop.
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def run_chunk(params, opt_state, geoms):
+            def body(carry, geom):
+                params, opt_state = carry
+                params, opt_state, total, clip_loss = step_once(
+                    params, opt_state, geom)
+                return (params, opt_state), (total, clip_loss)
+            (params, opt_state), (totals, clips) = jax.lax.scan(
+                body, (params, opt_state), geoms)
+            return params, opt_state, totals[-1], clips[-1]
+
         total = clip_loss = jnp.inf
-        for step in range(cfg.num_steps):
-            geom = jnp.asarray(next(geometry_batches), jnp.float32)
-            params, opt_state, total, clip_loss = step_fn(params, opt_state,
-                                                          geom)
-            if step % 50 == 0:
-                logger.info("clip step %d: total %.4f clip %.4f", step,
-                            float(total), float(clip_loss))
+        step = 0
+        while step < cfg.num_steps:
+            k = min(50, cfg.num_steps - step)
+            geoms = jnp.asarray(np.stack(
+                [next(geometry_batches) for _ in range(k)]), jnp.float32)
+            params, opt_state, total, clip_loss = run_chunk(
+                params, opt_state, geoms)
+            step += k
+            logger.info("clip step %d: total %.4f clip %.4f", step,
+                        float(total), float(clip_loss))
         out = {"w": np.asarray(params["w"]), "loss": float(total),
                "clip_loss": float(clip_loss)}
         if "noise" in params:
