@@ -44,40 +44,38 @@ def main():
     targets = np.tanh(rng.randn(n, bp, r, r, 3)).astype(np.float32)
     geoms = (rng.rand(n, bp, r, r, 1) > 0.5).astype(np.float32)
 
-    def steady_step_time(fn):
-        """Per-step time via the difference of a short and a long cached
-        run, cancelling compile/setup (w-stats, encode) fixed costs.
-        Both chunk lengths are compiled BEFORE timing."""
-        fn(2)
-        fn(2 + args.steps)
-        t0 = time.perf_counter()
-        fn(2)
-        t_short = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        fn(2 + args.steps)
-        t_long = time.perf_counter() - t0
-        return max(t_long - t_short, 1e-9) / args.steps
+    # Time FULL runs (what a CLI user pays), second invocation each so the
+    # persistent compile cache is warm.  Per-step micro-timing is hopeless
+    # here: each project() call re-traces its jit (fresh closures), and the
+    # cache-load + setup noise over the dev tunnel swamps a 40-step delta.
+    cfg = P.ProjectionConfig(num_steps=args.steps, w_avg_samples=256,
+                             min_lpips_improvement=-1.0,
+                             optimize_noise=True)
 
-    cfg0 = P.ProjectionConfig(w_avg_samples=256, min_lpips_improvement=-1.0,
-                              optimize_noise=True)
-    import dataclasses
+    def run_parallel():
+        P.project_parallel(eng, targets, geoms, cfg, seed=0,
+                           log_every=10**6)
 
-    def run_parallel(num_steps):
-        cfg = dataclasses.replace(cfg0, num_steps=num_steps)
-        P.project_parallel(eng, targets, geoms, cfg, seed=0, log_every=10**6)
-
-    def run_single(num_steps):
-        cfg = dataclasses.replace(cfg0, num_steps=num_steps)
+    def run_single():
         P.project(eng, targets[0], geoms[0], cfg, seed=0, log_every=10**6)
 
-    t1 = steady_step_time(run_single)
-    tn = steady_step_time(run_parallel)
+    def timed(fn):
+        fn()                                     # warm the compile cache
+        best = 1e30
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1 = timed(run_single)
+    tn = timed(run_parallel)
     print(json.dumps({
-        "metric": f"projection step time ({args.resolution}px, "
-                  f"{bp} patches/style)",
-        "single_style_ms": round(t1 * 1e3, 1),
+        "metric": f"full projection run, {args.steps} steps "
+                  f"({args.resolution}px, {bp} patches/style)",
+        "single_style_s": round(t1, 2),
         "parallel_styles": n,
-        "parallel_ms_per_step": round(tn * 1e3, 1),
+        "parallel_run_s": round(tn, 2),
         "speedup_vs_sequential": round(n * t1 / tn, 2),
     }))
 
