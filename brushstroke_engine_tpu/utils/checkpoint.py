@@ -585,9 +585,17 @@ def convert_reference_snapshot(path: str,
     pkl = tx.load_reference_pickle(path)
     assert isinstance(pkl, dict), f"unexpected snapshot structure in {path}"
 
-    args = tx.module_attrs(pkl.get("args", {})) or {}
-    if hasattr(args, "__dict__"):
-        args = vars(args)
+    raw_args = pkl.get("args", {}) or {}
+    if isinstance(raw_args, dict):
+        # includes dnnlib.EasyDict stubs (dict subclasses whose data lives
+        # in the dict itself -- vars() on those is empty, see r3 fix)
+        args = dict(raw_args)
+    elif isinstance(raw_args, tx.PersistentStub):
+        args = tx.module_attrs(raw_args)
+    elif hasattr(raw_args, "__dict__"):
+        args = dict(vars(raw_args))    # argparse.Namespace-style args
+    else:
+        args = {}
 
     g_obj = pkl.get("G_ema", pkl.get("G"))
     flat_g = tx.flatten_module_state(g_obj)

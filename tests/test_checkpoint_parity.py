@@ -344,10 +344,12 @@ ENC_ARGS = {
 }
 
 
-def _write_snapshot(path, gen: TorchGolden, enc: TorchGoldenEncoder):
+def _write_snapshot(path, gen: TorchGolden, enc: TorchGoldenEncoder,
+                    args=None):
     snapshot = {
         "G_ema": _PersistedModule(gen),
-        "args": {"color_format": "triad", "geom_inject_resolutions": (0,)},
+        "args": args if args is not None else
+                {"color_format": "triad", "geom_inject_resolutions": (0,)},
         "encoder": {
             "model_state": {k: v for k, v in enc.state_dict().items()},
             "args": ENC_ARGS,
@@ -380,6 +382,24 @@ def converted(tmp_path_factory):
     _write_snapshot(path, gen, enc)
     bundle = ckpt.convert_reference_snapshot(path)
     return gen, enc, bundle
+
+
+def test_easydict_args_preserved(tmp_path):
+    """Snapshot `args` arrive as dnnlib.EasyDict (a dict subclass whose data
+    lives in the dict itself, so vars() on it is EMPTY).  Regression for the
+    r3 bug where the converter vars()'d them away and every multi-injection
+    checkpoint silently fell back to geom_inject_resolutions=(0,)."""
+    from brushstroke_engine_tpu.utils import torch_extract as tx
+    torch.manual_seed(0)
+    gen = TorchGolden(seed=0).eval()
+    enc = TorchGoldenEncoder(seed=1).eval()
+    path = str(tmp_path / "network-snapshot.pkl")
+    _write_snapshot(path, gen, enc,
+                    args=tx.EasyDict(color_format="triad",
+                                     geom_inject_resolutions=[0, 1]))
+    bundle = ckpt.convert_reference_snapshot(path)
+    assert bundle.geom_inject_resolutions == (0, 1)
+    assert bundle.color_format == "triad"
 
 
 class TestConvertedSnapshotParity:
