@@ -28,7 +28,8 @@ def _nan_like_shapes(shape_dict) -> Dict:
             for k, v in shape_dict.items()}
 
 
-def make_fused_train_step(cfg: TrainConfig):
+def make_fused_train_step(cfg: TrainConfig, device_data: bool = False,
+                          mesh=None):
     """Returns step(state, enc_params, enc_state, real_img, geom_input,
     geom_truth, rng, batch_idx, warm, ema_beta[, geom_input2, crop1,
     crop2]) -> (state, stats).
@@ -41,6 +42,15 @@ def make_fused_train_step(cfg: TrainConfig):
     then runs inside the same dispatch on its interval (reference phase set
     training_loop_modified.py:296-301).  Stats always contain every phase's
     keys; phases that did not run this step report NaN.
+
+    With ``device_data=True`` the returned step instead has signature
+    step(state, enc_params, enc_state, style_bank, tri_bank, rng,
+    batch_idx, warm, ema_beta, crop1[, crop2]): the batch is SAMPLED
+    ON-DEVICE from uint8 banks (see train/device_dataset.py) -- gather by
+    random index, float conversion, training-resolution crop (and the
+    stitch phase's second crop) all inside the same dispatch, so the host
+    feeds nothing per step but a key and crop offsets.  ``mesh`` shards the
+    sampled batch over the ``data`` axis.
     """
     warm_step = ts.make_geom_step(cfg, warmstart=True).__wrapped__ \
         if cfg.geom_warmstart_kimg > 0 else None
@@ -54,12 +64,10 @@ def make_fused_train_step(cfg: TrainConfig):
     g_reg = ts.g_reg_step.__wrapped__
     ada = ts.ada_update.__wrapped__
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def step(state, enc_params, enc_state, real_img, geom_input, geom_truth,
-             rng, batch_idx, warm, ema_beta, geom_input2=None, crop1=None,
+    def core(state, enc_params, enc_state, real_img, geom_input, geom_truth,
+             k, batch_idx, warm, ema_beta, geom_input2=None, crop1=None,
              crop2=None):
         feats = ts.encode_geometry(cfg, enc_params, enc_state, geom_input)
-        k = jax.random.split(rng, 10)
         n = real_img.shape[0]
         zdim = cfg.gen_cfg.z_dim
         z1 = jax.random.normal(k[5], (n, zdim))
@@ -156,4 +164,37 @@ def make_fused_train_step(cfg: TrainConfig):
             return main_branch(state)
         return jax.lax.cond(warm, warm_branch, main_branch, state)
 
-    return step
+    if not device_data:
+        @partial(jax.jit, donate_argnums=(0,))
+        def step(state, enc_params, enc_state, real_img, geom_input,
+                 geom_truth, rng, batch_idx, warm, ema_beta,
+                 geom_input2=None, crop1=None, crop2=None):
+            k = jax.random.split(rng, 10)
+            return core(state, enc_params, enc_state, real_img, geom_input,
+                        geom_truth, k, batch_idx, warm, ema_beta,
+                        geom_input2, crop1, crop2)
+
+        return step
+
+    from brushstroke_engine_tpu.train.device_dataset import (
+        crop_tri, sample_banks)
+    res = cfg.gen_cfg.img_resolution
+    stitching = stitch_step is not None
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def device_step(state, enc_params, enc_state, style_bank, tri_bank,
+                    rng, batch_idx, warm, ema_beta, crop1, crop2=None):
+        k = jax.random.split(rng, 11)
+        real_img, tri = sample_banks(style_bank, tri_bank, k[10],
+                                     cfg.batch_size, mesh=mesh)
+        geom_input, geom_truth = crop_tri(tri, crop1, res)
+        geom_input2 = None
+        if stitching:
+            assert crop2 is not None, \
+                "stitching is configured: pass crop2"
+            geom_input2, _ = crop_tri(tri, crop2, res)
+        return core(state, enc_params, enc_state, real_img, geom_input,
+                    geom_truth, k[:10], batch_idx, warm, ema_beta,
+                    geom_input2, crop1, crop2)
+
+    return device_step

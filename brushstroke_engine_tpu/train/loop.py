@@ -49,7 +49,7 @@ class TrainingLoop:
                  debug_nans: bool = False, profile_phases: bool = False,
                  use_fused: bool = False, mesh=None,
                  profile_dir: Optional[str] = None,
-                 profile_batches=(10, 13)):
+                 profile_batches=(10, 13), device_banks=None):
         if debug_nans:
             # Analog of the reference's grad-anomaly debugging hooks
             # (SURVEY.md section 5.2); catches non-finite values at source.
@@ -116,11 +116,18 @@ class TrainingLoop:
             if cfg.stitch_interval > 0 and cfg.losses("stitch").items \
             else None
         self.stitcher = RandomStitcher()
+        # Device-resident data (train/device_dataset.py): the fused step
+        # samples batches from uint8 HBM banks; style/geom iterators are
+        # unused per step (they may be None).
+        self.device_banks = device_banks
+        if device_banks is not None and not use_fused:
+            raise ValueError("device_banks requires use_fused=True")
         self.fused_step = None
         if use_fused:
             from brushstroke_engine_tpu.train.fused import \
                 make_fused_train_step
-            self.fused_step = make_fused_train_step(cfg)
+            self.fused_step = make_fused_train_step(
+                cfg, device_data=device_banks is not None, mesh=mesh)
 
         self.cur_nimg = 0
         self.batch_idx = 0
@@ -253,14 +260,23 @@ class TrainingLoop:
                     self._trace_active = False
                     logger.info("Wrote device trace to %s", self.profile_dir)
             warm = self.in_warmstart()
-            style, tri_full, crop1, geom_input, geom_truth = \
-                self._fetch_batch()
-            if self.fused_step is None:
-                # The fused step encodes geometry inside its own dispatch.
-                feats = train_steps.encode_geometry(
-                    cfg, self.enc_params, self.enc_state,
-                    self._data(geom_input))
-            geom_truth_j = self._data(geom_truth)
+            if self.device_banks is not None:
+                # On-device sampling: the host only picks crop offsets.
+                res = cfg.gen_cfg.img_resolution
+                h, _w = self.device_banks.tri_hw
+                y = int(self.rng.integers(0, max(h - res, 0) + 1))
+                x = int(self.rng.integers(0, max(_w - res, 0) + 1))
+                crop1 = (y, x, res, res)
+            else:
+                style, tri_full, crop1, geom_input, geom_truth = \
+                    self._fetch_batch()
+                if self.fused_step is None:
+                    # The fused step encodes geometry inside its own
+                    # dispatch.
+                    feats = train_steps.encode_geometry(
+                        cfg, self.enc_params, self.enc_state,
+                        self._data(geom_input))
+                geom_truth_j = self._data(geom_truth)
             # Per-batch loss scalars stay ON DEVICE until the tick boundary:
             # materializing ~25 tiny scalars with float() every batch forces
             # a host<->device round trip that serializes the dispatch queue
@@ -283,25 +299,39 @@ class TrainingLoop:
             ema_beta = self._ema_beta()
 
             if self.fused_step is not None:
-                stitch_kwargs = {}
-                if self.stitch_step is not None:
-                    # Gstitch runs INSIDE the fused dispatch on its
-                    # interval; the host only slices the second crop.
-                    crop2 = self.stitcher.gen_overlapping_square_crop(
-                        tri_full.shape[1], crop1)
-                    g2 = tri_full[:, crop2[0]:crop2[0] + crop2[2],
-                                  crop2[1]:crop2[1] + crop2[3], 1:2]
-                    stitch_kwargs = {
-                        "geom_input2": self._data(g2),
-                        "crop1": np.asarray(crop1, np.int32),
-                        "crop2": np.asarray(crop2, np.int32),
-                    }
-                self.state, s = self.fused_step(
-                    self.state, self.enc_params, self.enc_state,
-                    self._data(style), self._data(geom_input),
-                    geom_truth_j, self._next_rng(),
-                    np.int32(self.batch_idx), np.bool_(warm), ema_beta,
-                    **stitch_kwargs)
+                if self.device_banks is not None:
+                    stitch_kwargs = {}
+                    if self.stitch_step is not None:
+                        crop2 = self.stitcher.gen_overlapping_square_crop(
+                            self.device_banks.tri_hw[0], crop1)
+                        stitch_kwargs = {
+                            "crop2": np.asarray(crop2, np.int32)}
+                    self.state, s = self.fused_step(
+                        self.state, self.enc_params, self.enc_state,
+                        self.device_banks.style, self.device_banks.tri,
+                        self._next_rng(), np.int32(self.batch_idx),
+                        np.bool_(warm), ema_beta,
+                        crop1=np.asarray(crop1, np.int32), **stitch_kwargs)
+                else:
+                    stitch_kwargs = {}
+                    if self.stitch_step is not None:
+                        # Gstitch runs INSIDE the fused dispatch on its
+                        # interval; the host only slices the second crop.
+                        crop2 = self.stitcher.gen_overlapping_square_crop(
+                            tri_full.shape[1], crop1)
+                        g2 = tri_full[:, crop2[0]:crop2[0] + crop2[2],
+                                      crop2[1]:crop2[1] + crop2[3], 1:2]
+                        stitch_kwargs = {
+                            "geom_input2": self._data(g2),
+                            "crop1": np.asarray(crop1, np.int32),
+                            "crop2": np.asarray(crop2, np.int32),
+                        }
+                    self.state, s = self.fused_step(
+                        self.state, self.enc_params, self.enc_state,
+                        self._data(style), self._data(geom_input),
+                        geom_truth_j, self._next_rng(),
+                        np.int32(self.batch_idx), np.bool_(warm), ema_beta,
+                        **stitch_kwargs)
                 note(s, "fused")
             elif warm:
                 z = self._host_normal(cfg.batch_size, cfg.gen_cfg.z_dim)

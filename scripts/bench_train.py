@@ -31,6 +31,15 @@ def main():
                          "production path including every host cost.")
     ap.add_argument("--pallas_warp", action="store_true",
                     help="Enable the fused Pallas ADA-warp kernel.")
+    ap.add_argument("--data_mode", default="pool",
+                    choices=["pool", "real_decode", "device_banks"],
+                    help="production_loop feed: 'pool' = pre-decoded "
+                         "rotating host batches (no decode cost), "
+                         "'real_decode' = PNG zips through "
+                         "ImageFolderDataset/BatchIterator (the true "
+                         "host-fed production path), 'device_banks' = "
+                         "uint8 banks in HBM with on-chip sampling "
+                         "(train/device_dataset.py).")
     ap.add_argument("--num_bf16_res", type=int, default=4,
                     help="Run G/D in bf16 at the N highest resolutions "
                          "(4 = the reference 'auto' fp16 spec; 99 = whole "
@@ -172,6 +181,33 @@ def _run_production_loop(args, cfg, b):
             self.i += 1
             return self.pool[self.i % len(self.pool)]
 
+    style_iter, geom_iter, banks = \
+        PoolIter(style_pool), PoolIter(geom_pool), None
+    if args.data_mode == "real_decode":
+        style_iter, geom_iter = _real_zip_iters(r, n)
+    elif args.data_mode == "device_banks":
+        from brushstroke_engine_tpu.train.dataset import (
+            SyntheticGeometryDataset)
+        from brushstroke_engine_tpu.train.device_dataset import (
+            build_device_banks)
+
+        class _ArrDS:
+            def __init__(self, a):
+                self.a = a
+
+            def __len__(self):
+                return len(self.a)
+
+            def __getitem__(self, i):
+                return self.a[i]
+
+        style_bank = (np.random.RandomState(1)
+                      .rand(512, r, r, 3) * 255).astype(np.uint8)
+        banks = build_device_banks(_ArrDS(style_bank),
+                                   SyntheticGeometryDataset(r + 32,
+                                                            size=256))
+        style_iter = geom_iter = None
+
     steps = max(args.steps, 16)
     with tempfile.TemporaryDirectory() as run_dir:
         # kimg_per_tick sized so the timed window ends on exactly ONE tick:
@@ -181,8 +217,9 @@ def _run_production_loop(args, cfg, b):
         cfg = dataclasses.replace(
             cfg, kimg_per_tick=max(steps * n // 1000, 1), ema_kimg=10.0)
         loop = TrainingLoop(cfg, b.enc_params, b.enc_state,
-                            PoolIter(style_pool), PoolIter(geom_pool),
-                            run_dir=run_dir, seed=0, use_fused=True)
+                            style_iter, geom_iter,
+                            run_dir=run_dir, seed=0, use_fused=True,
+                            device_banks=banks)
         loop.run(total_kimg=2 * n / 1000.0)       # warmup: compile + cache
         t0 = _time.perf_counter()
         loop.run(total_kimg=(2 + steps) * n / 1000.0)
@@ -190,13 +227,47 @@ def _run_production_loop(args, cfg, b):
     imgs_per_sec = steps * n / dt
     print(json.dumps({
         "metric": f"production-loop train imgs/sec/chip ({r}px, batch {n}, "
-                  f"fused step, host feed included)",
+                  f"fused step, data_mode={args.data_mode})",
         "value": round(imgs_per_sec, 1),
         "pallas_warp": bool(args.pallas_warp),
         "projected_days_for_10000kimg": round(
             10000e3 / imgs_per_sec / 86400, 2),
         "reference": "~2 weeks on 1 GPU (README.md:106)",
     }))
+
+
+def _real_zip_iters(r, batch):
+    """Style + triband PNG zips (built once, cached in /tmp) through the
+    production ImageFolderDataset/BatchIterator path -- includes the real
+    per-batch decode cost the 'pool' mode excludes."""
+    import io
+    import zipfile
+
+    from PIL import Image
+
+    from brushstroke_engine_tpu.train.dataset import (
+        BatchIterator, ImageFolderDataset, SyntheticGeometryDataset)
+
+    def ensure_zip(path, images):
+        if os.path.exists(path):
+            return
+        with zipfile.ZipFile(path, "w") as z:
+            for i, img in enumerate(images):
+                buf = io.BytesIO()
+                Image.fromarray(img).save(buf, format="PNG")
+                z.writestr(f"img{i:05d}.png", buf.getvalue())
+
+    rng = np.random.RandomState(7)
+    style_zip = f"/tmp/bench_style_{r}.zip"
+    geom_zip = f"/tmp/bench_geom_{r}.zip"
+    ensure_zip(style_zip, ((rng.rand(r, r, 3) * 255).astype(np.uint8)
+                           for _ in range(512)))
+    geo_ds = SyntheticGeometryDataset(r + 32, size=256)
+    ensure_zip(geom_zip, (geo_ds[i] for i in range(len(geo_ds))))
+    style = ImageFolderDataset(style_zip, r, channels=3)
+    geom = ImageFolderDataset(geom_zip, r + 32, channels=3)
+    return (BatchIterator(style, batch, seed=0),
+            BatchIterator(geom, batch, seed=1))
 
 
 if __name__ == "__main__":

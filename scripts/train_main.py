@@ -101,6 +101,12 @@ def build_parser():
     ap.add_argument("--dp", type=int, default=0,
                     help="Data-parallel over N devices (jax.sharding mesh; "
                          "0 = single device). batch must divide by N.")
+    ap.add_argument("--device_dataset", action="store_true",
+                    help="Decode the whole dataset once and keep it in HBM "
+                         "as uint8 banks; the fused step then samples each "
+                         "batch on-device (no per-step host decode or "
+                         "host->device batch copies). Requires --fused; "
+                         "see train/device_dataset.py for the size guard.")
     ap.add_argument("--coordinator_address", default="",
                     help="Multi-host: coordinator host:port for "
                          "jax.distributed (auto-detected on TPU pods).")
@@ -260,17 +266,22 @@ def main(argv=None):
     if args.geom_data:
         geom_ds = ImageFolderDataset(args.geom_data, res + 64, channels=3)
     else:
-        geom_ds = SyntheticGeometryDataset(res + 64)
+        # Device-resident mode decodes the whole dataset up-front; cap the
+        # synthetic stand-in so startup stays quick.
+        geom_ds = SyntheticGeometryDataset(
+            res + 64, size=2048 if args.device_dataset else 10000)
 
     # Per-process input shard: each rank loads batch/num_ranks items from
     # its own interleaved index stream (dataset.infinite_indices).
     assert cfg.batch_size % num_ranks == 0, \
         f"batch {cfg.batch_size} not divisible by {num_ranks} processes"
     local_bs = cfg.batch_size // num_ranks
-    style_iter = BatchIterator(style_ds, local_bs, seed=args.seed,
-                               rank=rank, num_ranks=num_ranks)
-    geom_iter = BatchIterator(geom_ds, local_bs, seed=args.seed + 1,
-                              rank=rank, num_ranks=num_ranks)
+    style_iter = geom_iter = None
+    if not args.device_dataset:
+        style_iter = BatchIterator(style_ds, local_bs, seed=args.seed,
+                                   rank=rank, num_ranks=num_ranks)
+        geom_iter = BatchIterator(geom_ds, local_bs, seed=args.seed + 1,
+                                  rank=rank, num_ranks=num_ranks)
 
     resume_state = None
     g_params = g_state = None
@@ -305,10 +316,20 @@ def main(argv=None):
             fid_real_batches=fid_real, geom_iterator=metric_geom_iter,
             metrics=metric_names)
 
+    device_banks = None
+    if args.device_dataset:
+        if not args.fused:
+            raise SystemExit("--device_dataset requires --fused")
+        from brushstroke_engine_tpu.train.device_dataset import \
+            build_device_banks
+        device_banks = build_device_banks(style_ds, geom_ds, mesh=mesh,
+                                          log_fn=logger.info)
+
     loop = TrainingLoop(cfg, enc_params, enc_state, style_iter, geom_iter,
                         run_dir=run_dir, seed=args.seed,
                         use_fused=args.fused, mesh=mesh,
-                        profile_dir=args.profile_dir, hooks=hooks)
+                        profile_dir=args.profile_dir, hooks=hooks,
+                        device_banks=device_banks)
     if g_params is not None:
         from brushstroke_engine_tpu.train.state import init_train_state
         import jax
