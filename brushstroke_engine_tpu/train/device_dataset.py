@@ -18,7 +18,10 @@ and pick crop offsets.
 Semantics note: the host pipeline re-crops oversized source images every
 epoch (dataset.py resize_mode='crop'); the banks freeze one decode per
 image, so per-epoch re-crop diversity is traded away unless the zips are
-pre-sized patches (the standard NeuBE data-prep output).  The random
+pre-sized patches (the standard NeuBE data-prep output).  Sampling is
+i.i.d. WITH replacement (one uniform randint per slot) rather than the
+host BatchIterator's shuffled-epoch permutation; over a GAN run of
+thousands of epochs the empirical visit counts are indistinguishable.  The random
 training-resolution crop of the triband image (reference
 training_loop_modified.py:393-426) is NOT affected -- it happens on-chip
 every step.
@@ -110,6 +113,41 @@ def sample_banks(style_bank: jax.Array, tri_bank: jax.Array, key: jax.Array,
     style = style.astype(jnp.float32) / 127.5 - 1.0
     tri = tri.astype(jnp.float32) / 255.0
     return style, tri
+
+
+def gen_crops(key: jax.Array, tri_hw: Tuple[int, int], resolution: int,
+              stitching: bool, crop_margin: int = 10, min_overlap: int = 50):
+    """On-device draw of the per-step crop rectangles (call INSIDE jit).
+
+    crop1 is uniform over valid training-resolution positions -- the same
+    distribution as the host loop's ``rng.integers(0, H - res + 1)``
+    (loop._fetch_batch).  When ``stitching``, crop2 mirrors the algebra of
+    ``engine.areas.gen_overlapping_square_crop`` (reference
+    CropHelper.gen_overlapping_square_crop): uniform within ``radius`` of
+    crop1, clamped to the image, guaranteeing ``min_overlap`` pixels of
+    overlap after the ``crop_margin`` shrink.  Returns (crop1, crop2) as
+    int32 [4] arrays (crop2 is None when not stitching).
+    """
+    h, w = int(tri_hw[0]), int(tri_hw[1])
+    res = int(resolution)
+    k1y, k1x, k2y, k2x = jax.random.split(key, 4)
+    y1 = jax.random.randint(k1y, (), 0, max(h - res, 0) + 1)
+    x1 = jax.random.randint(k1x, (), 0, max(w - res, 0) + 1)
+    crop1 = jnp.stack([y1, x1, jnp.int32(res), jnp.int32(res)])
+    if not stitching:
+        return crop1, None
+    # Static overlap radius (same degenerate-width guard as areas.py).
+    mo = min(min_overlap, res - crop_margin - 1)
+    radius = max(res - crop_margin - mo - 1, 0)
+
+    def axis(k, c, limit):
+        rmin = jnp.maximum(0, c - radius)
+        rmax = jnp.maximum(rmin, jnp.minimum(c + radius, limit - res - 1))
+        return jax.random.randint(k, (), rmin, rmax + 1)   # inclusive rmax
+
+    crop2 = jnp.stack([axis(k2y, y1, h), axis(k2x, x1, w),
+                       jnp.int32(res), jnp.int32(res)])
+    return crop1, crop2
 
 
 def crop_tri(tri: jax.Array, crop: jax.Array, resolution: int):

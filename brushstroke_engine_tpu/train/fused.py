@@ -29,7 +29,8 @@ def _nan_like_shapes(shape_dict) -> Dict:
 
 
 def make_fused_train_step(cfg: TrainConfig, device_data: bool = False,
-                          mesh=None):
+                          mesh=None, chunk: int = 0,
+                          crop_margin: int = 10, min_overlap: int = 50):
     """Returns step(state, enc_params, enc_state, real_img, geom_input,
     geom_truth, rng, batch_idx, warm, ema_beta[, geom_input2, crop1,
     crop2]) -> (state, stats).
@@ -51,6 +52,18 @@ def make_fused_train_step(cfg: TrainConfig, device_data: bool = False,
     stitch phase's second crop) all inside the same dispatch, so the host
     feeds nothing per step but a key and crop offsets.  ``mesh`` shards the
     sampled batch over the ``data`` axis.
+
+    With additionally ``chunk=K > 0`` the returned step runs K consecutive
+    batches per dispatch as a ``lax.scan`` over the single-batch cycle --
+    signature step(state, enc_params, enc_state, style_bank, tri_bank,
+    rng, batch_idx0, nimg0) -> (state, stats stacked [K]).  EVERYTHING
+    per-step moves on-device: the bank draw, both crop rectangles
+    (device_dataset.gen_crops mirrors the host stitcher's distribution),
+    the warmstart flag (from the traced image counter), and the EMA decay
+    with its ramp-up.  The host's only per-dispatch work is one key, two
+    int scalars, and the tick machinery -- this is the production trainer
+    shape for a high-latency host<->device link, and it removes the last
+    per-batch host costs everywhere else.
     """
     warm_step = ts.make_geom_step(cfg, warmstart=True).__wrapped__ \
         if cfg.geom_warmstart_kimg > 0 else None
@@ -177,24 +190,65 @@ def make_fused_train_step(cfg: TrainConfig, device_data: bool = False,
         return step
 
     from brushstroke_engine_tpu.train.device_dataset import (
-        crop_tri, sample_banks)
+        crop_tri, gen_crops, sample_banks)
     res = cfg.gen_cfg.img_resolution
     stitching = stitch_step is not None
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def device_step(state, enc_params, enc_state, style_bank, tri_bank,
-                    rng, batch_idx, warm, ema_beta, crop1, crop2=None):
-        k = jax.random.split(rng, 11)
-        real_img, tri = sample_banks(style_bank, tri_bank, k[10],
+    def sampled_core(state, enc_params, enc_state, style_bank, tri_bank,
+                     k, kbank, batch_idx, warm, ema_beta, crop1, crop2):
+        real_img, tri = sample_banks(style_bank, tri_bank, kbank,
                                      cfg.batch_size, mesh=mesh)
         geom_input, geom_truth = crop_tri(tri, crop1, res)
-        geom_input2 = None
-        if stitching:
-            assert crop2 is not None, \
-                "stitching is configured: pass crop2"
-            geom_input2, _ = crop_tri(tri, crop2, res)
+        geom_input2 = crop_tri(tri, crop2, res)[0] if stitching else None
         return core(state, enc_params, enc_state, real_img, geom_input,
-                    geom_truth, k[:10], batch_idx, warm, ema_beta,
+                    geom_truth, k, batch_idx, warm, ema_beta,
                     geom_input2, crop1, crop2)
 
-    return device_step
+    if not chunk:
+        @partial(jax.jit, donate_argnums=(0,))
+        def device_step(state, enc_params, enc_state, style_bank, tri_bank,
+                        rng, batch_idx, warm, ema_beta, crop1, crop2=None):
+            k = jax.random.split(rng, 11)
+            if stitching:
+                assert crop2 is not None, \
+                    "stitching is configured: pass crop2"
+            return sampled_core(state, enc_params, enc_state, style_bank,
+                                tri_bank, k[:10], k[10], batch_idx, warm,
+                                ema_beta, crop1, crop2)
+
+        return device_step
+
+    warm_start_nimg = cfg.geom_warmstart_start_kimg * 1000.0
+    warm_len_nimg = cfg.geom_warmstart_kimg * 1000.0
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def chunk_step(state, enc_params, enc_state, style_bank, tri_bank,
+                   rng, batch_idx0, nimg0):
+        tri_hw = (tri_bank.shape[1], tri_bank.shape[2])
+
+        def body(s, i):
+            batch_idx = batch_idx0 + i
+            nimg = (nimg0 + i * cfg.batch_size).astype(jnp.float32)
+            k = jax.random.split(jax.random.fold_in(rng, i), 12)
+            crop1, crop2 = gen_crops(k[11], tri_hw, res, stitching,
+                                     crop_margin, min_overlap)
+            if warm_step is not None:
+                warm = jnp.logical_and(
+                    nimg >= warm_start_nimg,
+                    nimg - warm_start_nimg < warm_len_nimg)
+            else:
+                warm = jnp.bool_(False)
+            # EMA decay with ramp-up (loop._ema_beta, reference
+            # training_loop_modified.py ema_nimg ramp).
+            ema_nimg = jnp.float32(cfg.ema_kimg * 1000.0)
+            if cfg.ema_rampup is not None:
+                ema_nimg = jnp.minimum(ema_nimg, nimg * cfg.ema_rampup)
+            ema_beta = jnp.exp2(-cfg.batch_size /
+                                jnp.maximum(ema_nimg, 1e-8))
+            return sampled_core(s, enc_params, enc_state, style_bank,
+                                tri_bank, k[:10], k[10], batch_idx, warm,
+                                ema_beta, crop1, crop2)
+
+        return jax.lax.scan(body, state, jnp.arange(chunk))
+
+    return chunk_step

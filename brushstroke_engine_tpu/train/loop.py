@@ -49,7 +49,8 @@ class TrainingLoop:
                  debug_nans: bool = False, profile_phases: bool = False,
                  use_fused: bool = False, mesh=None,
                  profile_dir: Optional[str] = None,
-                 profile_batches=(10, 13), device_banks=None):
+                 profile_batches=(10, 13), device_banks=None,
+                 steps_per_dispatch: int = 1):
         if debug_nans:
             # Analog of the reference's grad-anomaly debugging hooks
             # (SURVEY.md section 5.2); catches non-finite values at source.
@@ -122,12 +123,23 @@ class TrainingLoop:
         self.device_banks = device_banks
         if device_banks is not None and not use_fused:
             raise ValueError("device_banks requires use_fused=True")
+        # steps_per_dispatch > 1: lax.scan K batches per dispatch with all
+        # per-step randomness on-device (fused.make_fused_train_step chunk
+        # mode) -- the host then only runs tick machinery.
+        self.steps_per_dispatch = max(int(steps_per_dispatch), 1)
+        if self.steps_per_dispatch > 1 and device_banks is None:
+            raise ValueError("steps_per_dispatch > 1 requires device_banks "
+                             "(per-step data must live on-device)")
         self.fused_step = None
         if use_fused:
             from brushstroke_engine_tpu.train.fused import \
                 make_fused_train_step
             self.fused_step = make_fused_train_step(
-                cfg, device_data=device_banks is not None, mesh=mesh)
+                cfg, device_data=device_banks is not None, mesh=mesh,
+                chunk=self.steps_per_dispatch
+                if self.steps_per_dispatch > 1 else 0,
+                crop_margin=self.stitcher.crop_margin,
+                min_overlap=self.stitcher.min_overlap)
 
         self.cur_nimg = 0
         self.batch_idx = 0
@@ -260,7 +272,10 @@ class TrainingLoop:
                     self._trace_active = False
                     logger.info("Wrote device trace to %s", self.profile_dir)
             warm = self.in_warmstart()
-            if self.device_banks is not None:
+            chunked = self.steps_per_dispatch > 1
+            if chunked:
+                pass  # crops, warm flag and EMA beta are drawn ON-DEVICE
+            elif self.device_banks is not None:
                 # On-device sampling: the host only picks crop offsets.
                 res = cfg.gen_cfg.img_resolution
                 h, _w = self.device_banks.tri_hw
@@ -298,7 +313,16 @@ class TrainingLoop:
 
             ema_beta = self._ema_beta()
 
-            if self.fused_step is not None:
+            if chunked:
+                # One dispatch runs steps_per_dispatch batches (lax.scan);
+                # stats come back stacked [K] and are reduced at the tick.
+                self.state, s = self.fused_step(
+                    self.state, self.enc_params, self.enc_state,
+                    self.device_banks.style, self.device_banks.tri,
+                    self._next_rng(), np.int32(self.batch_idx),
+                    np.int32(self.cur_nimg))
+                note(s, "fused")
+            elif self.fused_step is not None:
                 if self.device_banks is not None:
                     stitch_kwargs = {}
                     if self.stitch_step is not None:
@@ -400,8 +424,8 @@ class TrainingLoop:
                         cfg, self.state,
                         np.float32(cfg.batch_size * cfg.ada_interval))
 
-            self.cur_nimg += cfg.batch_size
-            self.batch_idx += 1
+            self.cur_nimg += cfg.batch_size * self.steps_per_dispatch
+            self.batch_idx += self.steps_per_dispatch
             self._last_stats = stats
 
             finishing_warm = warm and not self.in_warmstart()
@@ -418,8 +442,14 @@ class TrainingLoop:
             # fused step reports NaN for phases skipped this batch.
             fetched = jax.device_get(stats)
             stats.clear()
-            stats.update({k: float(v) for k, v in fetched.items()
-                          if np.isfinite(v)})
+            for k, v in fetched.items():
+                # Chunked dispatch returns [K]-stacked per-step values; keep
+                # the most recent step that actually ran the phase (scalars
+                # reshape to [1], so both modes share this path).
+                a = np.asarray(v, np.float64).reshape(-1)
+                a = a[np.isfinite(a)]
+                if a.size:
+                    stats[k] = float(a[-1])
             stats["Progress/tick"] = self.cur_tick
             stats["Progress/kimg"] = self.cur_nimg / 1e3
             stats["Progress/ada_p"] = float(self.state["ada_p"])

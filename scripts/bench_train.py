@@ -40,6 +40,10 @@ def main():
                          "host-fed production path), 'device_banks' = "
                          "uint8 banks in HBM with on-chip sampling "
                          "(train/device_dataset.py).")
+    ap.add_argument("--steps_per_dispatch", type=int, default=1,
+                    help="device_banks mode: batches per dispatch "
+                         "(lax.scan chunk; all per-step randomness "
+                         "on-device).")
     ap.add_argument("--num_bf16_res", type=int, default=4,
                     help="Run G/D in bf16 at the N highest resolutions "
                          "(4 = the reference 'auto' fp16 spec; 99 = whole "
@@ -219,15 +223,20 @@ def _run_production_loop(args, cfg, b):
         loop = TrainingLoop(cfg, b.enc_params, b.enc_state,
                             style_iter, geom_iter,
                             run_dir=run_dir, seed=0, use_fused=True,
-                            device_banks=banks)
+                            device_banks=banks,
+                            steps_per_dispatch=args.steps_per_dispatch)
         loop.run(total_kimg=2 * n / 1000.0)       # warmup: compile + cache
+        nimg0 = loop.cur_nimg  # chunked dispatch may overshoot the warmup
         t0 = _time.perf_counter()
-        loop.run(total_kimg=(2 + steps) * n / 1000.0)
+        loop.run(total_kimg=(nimg0 + steps * n) / 1000.0)
         dt = _time.perf_counter() - t0
-    imgs_per_sec = steps * n / dt
+        imgs = loop.cur_nimg - nimg0
+    imgs_per_sec = imgs / dt
+    spd = args.steps_per_dispatch
     print(json.dumps({
         "metric": f"production-loop train imgs/sec/chip ({r}px, batch {n}, "
-                  f"fused step, data_mode={args.data_mode})",
+                  f"fused step, data_mode={args.data_mode}"
+                  + (f", steps_per_dispatch={spd}" if spd > 1 else "") + ")",
         "value": round(imgs_per_sec, 1),
         "pallas_warp": bool(args.pallas_warp),
         "projected_days_for_10000kimg": round(

@@ -107,6 +107,12 @@ def build_parser():
                          "batch on-device (no per-step host decode or "
                          "host->device batch copies). Requires --fused; "
                          "see train/device_dataset.py for the size guard.")
+    ap.add_argument("--steps_per_dispatch", type=int, default=1,
+                    help="With --device_dataset: run N batches per device "
+                         "dispatch (lax.scan over the fused step; crops, "
+                         "warmstart flag and EMA schedule computed "
+                         "on-device). Hides host/dispatch latency; ticks "
+                         "land on dispatch boundaries.")
     ap.add_argument("--coordinator_address", default="",
                     help="Multi-host: coordinator host:port for "
                          "jax.distributed (auto-detected on TPU pods).")
@@ -329,7 +335,8 @@ def main(argv=None):
                         run_dir=run_dir, seed=args.seed,
                         use_fused=args.fused, mesh=mesh,
                         profile_dir=args.profile_dir, hooks=hooks,
-                        device_banks=device_banks)
+                        device_banks=device_banks,
+                        steps_per_dispatch=args.steps_per_dispatch)
     if g_params is not None:
         from brushstroke_engine_tpu.train.state import init_train_state
         import jax

@@ -158,6 +158,86 @@ def test_device_banks_requires_fused(tmp_path):
                      device_banks=banks)
 
 
+def test_gen_crops_bounds_and_overlap():
+    """On-device crop draw mirrors the host stitcher's guarantees: crop1
+    uniform over valid positions, crop2 within the overlap radius and
+    inside the image (engine.areas.gen_overlapping_square_crop algebra)."""
+    from brushstroke_engine_tpu.train.device_dataset import gen_crops
+    res, h, w, margin, mo = 64, 100, 90, 10, 50
+    keys = jax.random.split(jax.random.PRNGKey(0), 256)
+    c1, c2 = jax.vmap(
+        lambda k: gen_crops(k, (h, w), res, True, margin, mo))(keys)
+    c1, c2 = np.asarray(c1), np.asarray(c2)
+    assert c1[:, 0].min() >= 0 and c1[:, 0].max() <= h - res
+    assert c1[:, 1].min() >= 0 and c1[:, 1].max() <= w - res
+    # crop2 in-image (areas.py clamps to input_width - width - 1).
+    assert c2[:, 0].min() >= 0 and c2[:, 0].max() <= h - res - 1
+    assert c2[:, 1].min() >= 0 and c2[:, 1].max() <= w - res - 1
+    # Overlap radius: |delta| <= res - margin - min_overlap - 1.
+    radius = res - margin - min(mo, res - margin - 1) - 1
+    assert np.abs(c2[:, :2] - c1[:, :2]).max() <= radius
+    # Non-degenerate randomness.
+    assert len(np.unique(c1[:, 0])) > 5 and len(np.unique(c2[:, 0])) > 5
+
+
+def test_chunked_step_phase_schedule():
+    """chunk=K scan: warmstart flag, lazy-reg intervals and the stitch
+    interval all derive from the traced step index on-device; the stacked
+    stats must show warm phases on early steps and main phases after."""
+    from brushstroke_engine_tpu.train.fused import make_fused_train_step
+    from brushstroke_engine_tpu.train.state import init_train_state
+    b, cfg, banks = _banks_and_cfg(
+        batch_size=2, geom_warmstart_kimg=4 / 1000.0,
+        geom_warmstart_losses="1.0*iou_inv(uvs)",
+        stitch_interval=2, stitch_phase_losses="1*gan(fake_composite)")
+    state = init_train_state(cfg, jax.random.PRNGKey(0),
+                             g_params=b.gen_params, g_state=b.gen_state)
+    step = make_fused_train_step(cfg, device_data=True, chunk=4)
+    state, stats = step(state, b.enc_params, b.enc_state,
+                        banks.style, banks.tri, jax.random.PRNGKey(1),
+                        jnp.int32(0), jnp.int32(0))
+    stats = {k: np.asarray(v) for k, v in stats.items()}
+    d_loss = stats["Loss/D/loss"]
+    assert d_loss.shape == (4,)
+    # nimg = 0, 2 are inside the 4-image warmstart: D did not run there.
+    assert not np.isfinite(d_loss[0]) and not np.isfinite(d_loss[1])
+    assert np.isfinite(d_loss[2]) and np.isfinite(d_loss[3])
+    warm_keys = [k for k in stats if "warmstart" in k or "warm" in k]
+    assert any(np.isfinite(stats[k][:2]).any() for k in warm_keys), \
+        sorted(stats)
+    leaf = jax.tree_util.tree_leaves(state["g_params"])[0]
+    assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_training_loop_chunked_dispatch(tmp_path):
+    from brushstroke_engine_tpu.train.loop import TrainingLoop
+    from brushstroke_engine_tpu.parallel.mesh import make_mesh
+    from brushstroke_engine_tpu.train.device_dataset import (
+        build_device_banks)
+    mesh = make_mesh()
+    b, cfg, banks = _banks_and_cfg(batch_size=8, kimg_per_tick=1)
+    banks = build_device_banks(_ArrayDS(np.asarray(banks.style)),
+                               _ArrayDS(np.asarray(banks.tri)), mesh=mesh)
+    loop = TrainingLoop(cfg, b.enc_params, b.enc_state, None, None,
+                        run_dir=str(tmp_path), use_fused=True, mesh=mesh,
+                        device_banks=banks, steps_per_dispatch=3, seed=7)
+    loop.run(total_kimg=48 / 1000.0)
+    assert loop.cur_nimg >= 48 and loop.batch_idx % 3 == 0
+    leaf = jax.tree_util.tree_leaves(loop.state["g_params"])[0]
+    assert np.all(np.isfinite(np.asarray(leaf)))
+    # Tick stat reduction handled the [K]-stacked values.
+    assert "Loss/D/loss" in loop._last_stats
+
+
+def test_chunked_requires_device_banks(tmp_path):
+    from brushstroke_engine_tpu.train.loop import TrainingLoop
+    b, cfg, _ = _banks_and_cfg()
+    with pytest.raises(ValueError, match="device_banks"):
+        TrainingLoop(cfg, b.enc_params, b.enc_state, None, None,
+                     run_dir=str(tmp_path), use_fused=True,
+                     steps_per_dispatch=4)
+
+
 def test_device_banks_dp_matches_single_device(tmp_path):
     """Same seed => identical on-device draws, so the DP-mesh run must
     track the single-device run (fp reduction-order tolerance only)."""
