@@ -179,6 +179,11 @@ def measure_ws_slo(bundle, sessions=2, strokes=12, warmup=4):
     # 6 ms production window only adds latency (measured 117 vs 97 ms p50
     # over the tunnel); the standalone scripts/bench_ws_slo.py probe runs
     # the production config (separate server process, window on).
+    # Device-canvas strokes run in an executor thread behind the async
+    # handler, so concurrent sessions overlap their tunnel round trips:
+    # measured p50 1 session 48.7 ms (wire floor), 2 sessions 54.6 ms,
+    # 4 sessions 65.1 ms (was 95 ms at 2 sessions when the event loop
+    # serialized the blocking download).
     app = ui_server.create_server(None, None, paint_engine=engine,
                                   use_device_canvas=True)
     with socket.socket() as s:

@@ -215,9 +215,16 @@ class DevicePaintSession:
                                 for a in host)
         return self._style_dev
 
-    def render_stroke(self, stroke_patch: np.ndarray, opts,
-                      x: int, y: int):
-        """stroke_patch: uint8 [W, W, 4]; returns uint8 RGBA + out meta."""
+    def render_stroke_dispatch(self, stroke_patch: np.ndarray, opts,
+                               x: int, y: int):
+        """Enqueue one stroke; returns (device rgba array, out meta).
+
+        The canvas state advances immediately (as a device future), so the
+        session's next stroke can be dispatched before this one's pixels
+        reach the host.  Materialize the result with :meth:`fetch` — from a
+        worker thread if the caller (e.g. the tornado server) must keep
+        serving other sessions while the download round-trip is in flight.
+        """
         eng = self.engine
         geom = np.asarray(eng.prepare_geom_input(stroke_patch),
                           np.float32).ravel()
@@ -230,8 +237,19 @@ class DevicePaintSession:
             eng.gen_cfg, eng.enc_cfg, tuple(eng.enc_res), eng.render_mode,
             self.blend_res, self.blend_margin, self.crop_margin,
             self._params, self.canvas, packed, z, ws, override, cmask)
+        return rgba, {"x": x + self.crop_margin, "y": y + self.crop_margin}
+
+    def fetch(self, rgba) -> np.ndarray:
+        """Download one dispatched stroke's uint8 RGBA (blocks on the
+        device->host transfer; safe to call off-thread)."""
         img = np.asarray(rgba)
         if self.crop_margin > 0:
             m = self.crop_margin
             img = img[m:-m, m:-m]
-        return img, {"x": x + self.crop_margin, "y": y + self.crop_margin}
+        return img
+
+    def render_stroke(self, stroke_patch: np.ndarray, opts,
+                      x: int, y: int):
+        """stroke_patch: uint8 [W, W, 4]; returns uint8 RGBA + out meta."""
+        rgba, meta = self.render_stroke_dispatch(stroke_patch, opts, x, y)
+        return self.fetch(rgba), meta

@@ -105,23 +105,32 @@ class DrawingWebSocketHandler(tornado.websocket.WebSocketHandler):
         except (RuntimeError, ValueError):
             logger.warning("Failed to save z")
 
-    def on_message(self, message):
+    async def on_message(self, message):
+        # Coroutine handler: tornado serializes messages per connection
+        # (response order within a session is preserved) while awaits —
+        # the device-canvas download round-trip — yield the loop to OTHER
+        # sessions, whose strokes then overlap on the wire instead of
+        # queueing behind this one (reference serves one-request-at-a-time,
+        # forger/ui/run.py handlers).
         try:
             if isinstance(message, bytes):
-                self._handle_binary_request(message)
+                await self._handle_binary_request(message)
             else:
                 self._handle_json_request(message)
+        except tornado.websocket.WebSocketClosedError:
+            # Client went away while a stroke was in flight — drop quietly.
+            pass
         except Exception as e:
             logger.exception(f"Failed to handle incoming message: {e}")
 
-    def _handle_binary_request(self, raw):
+    async def _handle_binary_request(self, raw):
         meta, offset = protocol.decode_render_request_metadata(raw)
         patch_meta, img_stroke, img_canvas = \
             protocol.binary_to_image_patches(raw, offset)
         meta.update(patch_meta)
-        self._handle_image_request(meta, img_stroke, img_canvas)
+        await self._handle_image_request(meta, img_stroke, img_canvas)
 
-    def _handle_image_request(self, meta, bg_img, fg_img):
+    async def _handle_image_request(self, meta, bg_img, fg_img):
         opts = self.helper.default_brush_options()
         for colorinfo in meta["colors"]:
             opts.set_color(int(colorinfo[0]), np.asarray(colorinfo[1:],
@@ -147,8 +156,17 @@ class DrawingWebSocketHandler(tornado.websocket.WebSocketHandler):
                     feature_blending_level=self._blend_level,
                     crop_margin=int(meta.get("crop_margin", 0)))
             if self.dev_session is not None:
-                res_img, meta_out = self.dev_session.render_stroke(
-                    bg_img, opts, int(meta["x"]), int(meta["y"]))
+                # Run the whole stroke (upload + dispatch + download) in an
+                # executor thread: the loop keeps serving other sessions
+                # during this stroke's host<->device round trips, so
+                # concurrent painters overlap on the wire instead of
+                # queueing.  Safe because tornado serializes messages per
+                # connection (each session's strokes stay ordered on its
+                # own canvas) and JAX dispatch is thread-safe.
+                res_img, meta_out = await tornado.ioloop.IOLoop.current() \
+                    .run_in_executor(None, self.dev_session.render_stroke,
+                                     bg_img, opts, int(meta["x"]),
+                                     int(meta["y"]))
                 head = protocol.int32_to_binary(meta["extra_data"] or 0)
                 self.write_message(head + protocol.image_patch_to_binary(
                     res_img, meta_out["x"], meta_out["y"]), binary=True)
