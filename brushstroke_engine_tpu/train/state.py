@@ -51,6 +51,12 @@ class TrainConfig:
     g_reg_interval: int = 4
     d_reg_interval: int = 16
 
+    # Synthesis noise during training.  The reference trains with random
+    # per-layer noise (SynthesisLayer default noise_mode='random');
+    # 'const' exists for deterministic cross-framework gradient-parity
+    # tests (tests/test_reference_parity.py).
+    noise_mode: str = "random"
+
     # GAN loss hyperparameters (reference loss_modified.py:30-34).
     style_mixing_prob: float = 0.9
     r1_gamma: float = 0.8192     # auto spec: 0.0002 * res^2 / batch @128/64... see train.py:265

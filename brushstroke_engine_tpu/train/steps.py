@@ -50,7 +50,8 @@ def _run_g(cfg: TrainConfig, g_params, state, z, geom_feats, rng,
     img, debug, new_w_avg = generator_apply(
         cfg.gen_cfg, g_params, {"w_avg": state["w_avg"],
                                 "noise": state["noise"]},
-        z=z, geom_features=geom_feats, noise_mode="random", rng=k_noise,
+        z=z, geom_features=geom_feats, noise_mode=cfg.noise_mode,
+        rng=k_noise,
         return_debug_data=True, style_mixing_prob=smp,
         style_mixing_rng=k_mix, update_w_avg=update_w_avg)
     return img, debug, new_w_avg
@@ -290,7 +291,7 @@ def g_reg_step(cfg: TrainConfig, state, geom_feats, z, rng, ema_beta):
             img, _, _ = generator_apply(
                 cfg.gen_cfg, g_params,
                 {"w_avg": state["w_avg"], "noise": state["noise"]},
-                ws=ws_in, geom_features=geom_feats, noise_mode="random",
+                ws=ws_in, geom_features=geom_feats, noise_mode=cfg.noise_mode,
                 rng=k_g)
             return img
 

@@ -149,15 +149,25 @@ def setup_config(args):
     enc_cfg = flagship_encoder_config()
     enc_params = enc_state = None
     if args.encoder_checkpt:
-        from brushstroke_engine_tpu.utils import checkpoint as ckpt
-        from brushstroke_engine_tpu.utils import torch_extract as tx
-        raw = tx.load_torch_file(args.encoder_checkpt)
-        enc_args = raw.get("args", {})
-        if hasattr(enc_args, "__dict__"):
-            enc_args = vars(enc_args)
-        enc_cfg = ckpt.encoder_config_from_args(enc_args)
-        flat = {k: tx.to_numpy(v) for k, v in raw["model_state"].items()}
-        enc_params, enc_state = ckpt.convert_encoder_state(flat, enc_cfg)
+        try:
+            # Native AE checkpoint (train_autoencoder.save_ae_checkpoint).
+            from brushstroke_engine_tpu.train.train_autoencoder import \
+                load_ae_checkpoint
+            enc_cfg, enc_params, enc_state = \
+                load_ae_checkpoint(args.encoder_checkpt)
+        except Exception:
+            # Reference torch .pt checkpoint (factory.py:18 layout).
+            from brushstroke_engine_tpu.utils import checkpoint as ckpt
+            from brushstroke_engine_tpu.utils import torch_extract as tx
+            raw = tx.load_torch_file(args.encoder_checkpt)
+            enc_args = raw.get("args", {})
+            if hasattr(enc_args, "__dict__"):
+                enc_args = vars(enc_args)
+            enc_cfg = ckpt.encoder_config_from_args(enc_args)
+            flat = {k: tx.to_numpy(v)
+                    for k, v in raw["model_state"].items()}
+            enc_params, enc_state = ckpt.convert_encoder_state(flat,
+                                                               enc_cfg)
     else:
         enc_params, enc_state = geo_encoder_init(
             enc_cfg, jax.random.PRNGKey(args.seed + 99))
