@@ -78,6 +78,12 @@ def build_parser():
     ap.add_argument("--aug", default="ada", choices=["ada", "noaug"])
     ap.add_argument("--augpipe", default="bgc")
     ap.add_argument("--style_mixing_prob", type=float, default=0.9)
+    ap.add_argument("--ema_kimg", type=float, default=-1.0,
+                    help="G_ema half-life in kimg; -1 = reference 'auto' "
+                         "spec batch*10/32 (train.py:180).")
+    ap.add_argument("--ema_rampup", type=float, default=0.05,
+                    help="EMA ramp-up ratio (reference 'auto' spec 0.05); "
+                         "<=0 disables ramp-up.")
     # NeuBE phases (train_flags.txt:8-14).
     ap.add_argument("--main_phase_losses", default="")
     ap.add_argument("--geom_phase_losses", default="1.0*iou_inv(uvs)")
@@ -217,6 +223,9 @@ def setup_config(args):
         geom_warmstart_start_kimg=args.geom_warmstart_start_kimg,
         augment=AugmentConfig.from_spec(args.augpipe)
         if args.aug == "ada" else None,
+        ema_kimg=(args.ema_kimg if args.ema_kimg >= 0
+                  else args.batch * 10.0 / 32.0),
+        ema_rampup=(args.ema_rampup if args.ema_rampup > 0 else None),
         total_kimg=args.kimg)
     return cfg, enc_cfg, enc_params, enc_state
 
