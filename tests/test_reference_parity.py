@@ -28,6 +28,7 @@ import pytest
 
 import jax
 import jax.numpy as jnp
+import optax
 
 from brushstroke_engine_tpu import ops
 from brushstroke_engine_tpu.models.generator import generator_apply
@@ -739,3 +740,287 @@ class TestPaintEngineParity:
         assert want.shape == got.shape
         diff = np.abs(want.astype(int) - got.astype(int))
         assert np.mean(diff <= 1) > 0.995, np.max(diff)
+
+
+# ---------------------------------------------------------------------------
+# (f) Gradient/optimizer parity: parameter UPDATES match the reference.
+#
+# Two layers:
+#   1. test_lazy_adam_semantics -- exact: identical injected grads through
+#      torch.optim.Adam with the reference's lazy-regularization lr/beta
+#      scaling (training_loop_modified.py:271-296) vs train/state.lazy_adam.
+#   2. TestGradientUpdateParity -- end-to-end: one full phase cycle
+#      (Gmain, Greg/PL, Dmain, Dreg/R1, Ggeom) on identical converted
+#      weights + batch, reference ForgerLoss.accumulate_gradients
+#      (loss_modified.py:140-272) + torch optimizer steps (the exact loop
+#      code, training_loop_modified.py:430-496) vs train/steps.py + optax,
+#      asserting per-tensor parameter deltas agree.  This is where silent
+#      training divergence (R1/PL double-backward, gain placement, Adam
+#      moment sharing across main/reg phases, geom-phase layer freezing)
+#      would hide.
+# ---------------------------------------------------------------------------
+
+def _lazy_pair(lr, betas, eps, interval):
+    """(torch kwargs, my optax optimizer) with reference lazy-reg scaling."""
+    from brushstroke_engine_tpu.train.state import lazy_adam
+    if interval is not None and interval > 1:
+        mb = interval / (interval + 1)
+        tk = dict(lr=lr * mb, betas=(betas[0] ** mb, betas[1] ** mb), eps=eps)
+    else:
+        tk = dict(lr=lr, betas=tuple(betas), eps=eps)
+    return tk, lazy_adam(lr, betas[0], betas[1], eps, interval)
+
+
+@pytest.mark.parametrize("interval", [None, 4, 16])
+def test_lazy_adam_semantics(interval):
+    """torch Adam (lazy-scaled) == optax lazy_adam on injected grads,
+    including bias correction across steps and near-eps gradients."""
+    rng = np.random.RandomState(50)
+    p0 = rng.randn(64).astype(np.float32)
+    # Mixed magnitudes: O(1), O(1e-4), near-eps, exact zero.
+    scales = np.concatenate([np.ones(16), 1e-4 * np.ones(16),
+                             1e-8 * np.ones(16), np.zeros(16)])
+    grads = [(rng.randn(64) * scales).astype(np.float32) for _ in range(3)]
+
+    tk, opt = _lazy_pair(2e-4, (0.0, 0.99), 1e-8, interval)
+    pt = torch.nn.Parameter(torch.from_numpy(p0.copy()))
+    topt = torch.optim.Adam([pt], **tk)
+    for g in grads:
+        topt.zero_grad(set_to_none=True)
+        pt.grad = torch.from_numpy(g.copy())
+        topt.step()
+
+    pj = jnp.asarray(p0)
+    ostate = opt.init(pj)
+    for g in grads:
+        upd, ostate = opt.update(jnp.asarray(g), ostate, pj)
+        pj = optax.apply_updates(pj, upd)
+
+    np.testing.assert_allclose(np.asarray(pj), pt.detach().numpy(),
+                               rtol=0, atol=1e-7)
+
+
+def _flat_tree(tree):
+    from jax.tree_util import tree_flatten_with_path, keystr
+    leaves, _ = tree_flatten_with_path(tree)
+    return {keystr(p): np.array(v, dtype=np.float64) for p, v in leaves}
+
+
+def _np_snapshot(tree):
+    """Deep numpy copy (the phase steps donate their input state)."""
+    return jax.tree_util.tree_map(lambda x: np.array(x), tree)
+
+
+def _assert_update_parity(before, mine_after, ref_after, lr_eff, label):
+    """Per-tensor: |delta_mine - delta_ref| small vs the Adam step size.
+
+    With beta1=0 at t=1, |delta| ~= lr * |g|/(|g|+eps): a near-sign
+    function of the gradient, so 10% of lr is a tight elementwise bound
+    away from the |g|~eps boundary; the mean bound catches systematic
+    error.  Reference-frozen tensors (delta_ref == 0, e.g. geom-phase
+    layer freezing) must be EXACTLY untouched on our side too."""
+    fb, fm, fr = map(_flat_tree, (before, mine_after, ref_after))
+    assert set(fb) == set(fm) == set(fr)
+    for k in sorted(fb):
+        dm = fm[k] - fb[k]
+        dr = fr[k] - fb[k]
+        if not np.any(dr):
+            assert not np.any(np.abs(dm) > 1e-12), \
+                f"{label}:{k} updated a tensor the reference froze"
+            continue
+        diff = np.abs(dm - dr)
+        assert diff.mean() < 0.02 * lr_eff, \
+            (label, k, float(diff.mean() / lr_eff))
+        assert np.mean(diff < 0.1 * lr_eff) > 0.99, \
+            (label, k, float(np.mean(diff < 0.1 * lr_eff)))
+
+
+def _force_const_noise(monkeypatch):
+    """The reference's run_G never passes noise_mode, so SynthesisLayer
+    draws fresh random noise (networks.py:362-371); force 'const' so both
+    frameworks consume the SAME converted noise buffers (gradients w.r.t.
+    noise_strength depend on the actual noise values)."""
+    nets = _import_ref("training.networks")
+    orig = nets.SynthesisLayer.forward
+
+    def forced(self, x, w, noise_mode="random", **kw):
+        return orig(self, x, w, noise_mode="const", **kw)
+
+    monkeypatch.setattr(nets.SynthesisLayer, "forward", forced)
+
+
+def _ref_phase_opt_step(fl, module, opt, batch, phase, gain, prep=None):
+    """Exactly the reference training loop's per-phase execution
+    (training_loop_modified.py:430-496): zero_grad, requires_grad_(True),
+    prep_module, accumulate_gradients, requires_grad_(False),
+    nan_to_num grad scrub, opt.step()."""
+    opt.zero_grad(set_to_none=True)
+    module.requires_grad_(True)
+    if prep is not None:
+        prep(module)
+    fl.accumulate_gradients(
+        phase=phase,
+        real_style=torch.from_numpy(batch["real"]),
+        real_c=torch.zeros(4, 0), real_geom=torch.from_numpy(batch["geom"]),
+        geom_feature=[torch.from_numpy(batch["geom8"])],
+        gen_z=torch.from_numpy(batch["z"]), gen_c=torch.zeros(4, 0),
+        sync=False, gain=gain)
+    module.requires_grad_(False)
+    for p in module.parameters():
+        if p.grad is not None:
+            torch.nan_to_num(p.grad, nan=0.0, posinf=1e5, neginf=-1e5,
+                             out=p.grad)
+    opt.step()
+
+
+@pytest.fixture()
+def grad_setup(ref_models, loss_setup):
+    """Deep-copied reference modules + fresh ForgerLoss + the exact
+    reference optimizers, so optimizer steps don't mutate the module-scope
+    fixtures shared with the scalar-parity tests."""
+    import copy
+    G0, _enc, bundle = ref_models
+    _fl0, D0, d_cfg, d_params, batch = loss_setup
+    G = copy.deepcopy(G0)
+    D = copy.deepcopy(D0)
+    _import_ref_stitching()
+    lm = _import_ref("training.loss_modified")
+    fl = lm.ForgerLoss(
+        device="cpu", G=G, D=D, geom_encoder=None, stitcher=None,
+        augment_pipe=None, style_mixing_prob=0, r1_gamma=10,
+        geom_phase_losses=GEOM_LOSSES, main_phase_losses=MAIN_LOSSES,
+        geom_warmstart_losses=None, stitch_phase_losses="")
+    # training_loop_modified.py:271-296: shared G/D optimizers with
+    # lazy-reg scaling; separate geom Adam(0, 0.99) over G.
+    tk_g, _ = _lazy_pair(2e-4, (0.0, 0.99), 1e-8, 4)
+    tk_d, _ = _lazy_pair(2e-4, (0.0, 0.99), 1e-8, 16)
+    g_opt = torch.optim.Adam(G.parameters(), **tk_g)
+    d_opt = torch.optim.Adam(D.parameters(), **tk_d)
+    geom_opt = torch.optim.Adam(G.parameters(), lr=2e-4, betas=(0.0, 0.99),
+                                eps=1e-8)
+    return dict(G=G, D=D, fl=fl, g_opt=g_opt, d_opt=d_opt,
+                geom_opt=geom_opt, bundle=bundle, d_cfg=d_cfg,
+                d_params=d_params, batch=batch)
+
+
+def _convert_g(G, gen_cfg):
+    flat = {k: v.detach().numpy() for k, v in G.state_dict().items()}
+    params, _state = ckpt.convert_generator_state(flat, gen_cfg)
+    return params
+
+
+def _convert_d(D, d_cfg):
+    flat = {k: v.detach().numpy() for k, v in D.state_dict().items()}
+    return ckpt.convert_discriminator_state(flat, d_cfg)
+
+
+class TestGradientUpdateParity:
+    """One full phase cycle: every parameter update matches the reference."""
+
+    def test_full_phase_cycle_updates(self, grad_setup, monkeypatch):
+        from brushstroke_engine_tpu.train.state import (
+            TrainConfig, init_train_state, make_optimizers)
+        from brushstroke_engine_tpu.train import steps
+
+        gs = grad_setup
+        bundle, batch, d_cfg = gs["bundle"], gs["batch"], gs["d_cfg"]
+        _force_const_noise(monkeypatch)
+
+        cfg = TrainConfig(
+            gen_cfg=bundle.gen_cfg, disc_cfg=d_cfg, enc_cfg=bundle.enc_cfg,
+            batch_size=4, noise_mode="const", style_mixing_prob=0.0,
+            r1_gamma=10.0, main_phase_losses=MAIN_LOSSES,
+            geom_phase_losses=GEOM_LOSSES, geom_warmstart_losses=GEOM_LOSSES,
+            augment=None, geom_phase_mode="last_and_rgb")
+        assert cfg.g_reg_interval == 4 and cfg.d_reg_interval == 16
+
+        state = init_train_state(cfg, jax.random.PRNGKey(0),
+                                 g_params=bundle.gen_params,
+                                 g_state=bundle.gen_state)
+        _, d_optax, _ = make_optimizers(cfg)
+        dp = jax.tree_util.tree_map(jnp.array, gs["d_params"])
+        state["d_params"] = dp
+        state["d_opt"] = d_optax.init(dp)
+
+        feats = [jnp.asarray(_nhwc(batch["geom8"]))]
+        truth = jnp.asarray(_nhwc(batch["geom"]))
+        real = jnp.asarray(_nhwc(batch["real"]))
+        z = jnp.asarray(batch["z"])
+        ema_beta = jnp.float32(0.5)
+
+        lr_g = 2e-4 * (4 / 5)
+        lr_d = 2e-4 * (16 / 17)
+
+        # --- Gmain (gain = interval = 1) -------------------------------
+        g_before = _np_snapshot(state["g_params"])
+        state, _ = steps.g_main_step(cfg, state, feats, truth, z,
+                                     jax.random.PRNGKey(1), ema_beta)
+        _ref_phase_opt_step(gs["fl"], gs["G"], gs["g_opt"], batch,
+                            "Gmain", gain=1.0)
+        _assert_update_parity(g_before, state["g_params"],
+                              _convert_g(gs["G"], cfg.gen_cfg),
+                              lr_g, "Gmain")
+
+        # --- Greg / path length (gain = 4, SAME g_opt: shared Adam
+        # moments + bias-correction t advance) ---------------------------
+        rng_pl = jax.random.PRNGKey(123)
+        _k_g, k_noise = jax.random.split(rng_pl)
+        b = 4 // cfg.pl_batch_shrink
+        pl_noise_nhwc = np.asarray(
+            jax.random.normal(k_noise, (b, RES, RES, 3), jnp.float32)
+        ) / np.sqrt(RES * RES)
+        raw = np.ascontiguousarray(
+            np.transpose(pl_noise_nhwc, (0, 3, 1, 2))
+        ) * np.sqrt(RES * RES)
+        lm = _import_ref("training.loss_modified")
+        monkeypatch.setattr(
+            lm.torch, "randn_like",
+            lambda t: torch.from_numpy(raw.astype(np.float32)))
+
+        g_before = _np_snapshot(state["g_params"])
+        state, _ = steps.g_reg_step(cfg, state, feats, z, rng_pl, ema_beta)
+        _ref_phase_opt_step(gs["fl"], gs["G"], gs["g_opt"], batch,
+                            "Greg", gain=4.0)
+        monkeypatch.setattr(lm.torch, "randn_like", torch.randn_like)
+        _assert_update_parity(g_before, state["g_params"],
+                              _convert_g(gs["G"], cfg.gen_cfg),
+                              lr_g, "Greg")
+        # pl_mean buffer evolves identically (loss_modified.py:218-220).
+        np.testing.assert_allclose(
+            float(state["pl_mean"]), float(gs["fl"].pl_mean), rtol=1e-4)
+
+        # --- Dmain (gain = 1) -------------------------------------------
+        d_before = _np_snapshot(state["d_params"])
+        state, _ = steps.d_main_step(cfg, state, real, feats, z,
+                                     jax.random.PRNGKey(2))
+        _ref_phase_opt_step(gs["fl"], gs["D"], gs["d_opt"], batch,
+                            "Dmain", gain=1.0)
+        _assert_update_parity(d_before, state["d_params"],
+                              _convert_d(gs["D"], d_cfg), lr_d, "Dmain")
+
+        # --- Dreg / R1 (gain = 16, SAME d_opt) ---------------------------
+        d_before = _np_snapshot(state["d_params"])
+        state, _ = steps.d_reg_step(cfg, state, real, jax.random.PRNGKey(3))
+        _ref_phase_opt_step(gs["fl"], gs["D"], gs["d_opt"], batch,
+                            "Dreg", gain=16.0)
+        _assert_update_parity(d_before, state["d_params"],
+                              _convert_d(gs["D"], d_cfg), lr_d, "Dreg")
+
+        # --- Ggeom (no gain, separate geom Adam, last_and_rgb freeze) ----
+        geom_step = steps.make_geom_step(cfg, warmstart=False)
+        g_before = _np_snapshot(state["g_params"])
+        state, _ = geom_step(state, feats, truth, z, jax.random.PRNGKey(4),
+                             ema_beta)
+        _ref_phase_opt_step(
+            gs["fl"], gs["G"], gs["geom_opt"], batch, "Ggeom", gain=200.0,
+            prep=lambda m: m.set_trainable_layers("last_and_rgb"))
+        _assert_update_parity(g_before, state["g_params"],
+                              _convert_g(gs["G"], cfg.gen_cfg),
+                              2e-4, "Ggeom")
+
+        # --- Cumulative: both parameter sets still agree after the full
+        # cycle (3 G steps + 2 D steps of compounding state). -------------
+        fg_m = _flat_tree(state["g_params"])
+        fg_r = _flat_tree(_convert_g(gs["G"], cfg.gen_cfg))
+        worst = max(np.abs(fg_m[k] - fg_r[k]).mean() for k in fg_m)
+        assert worst < 0.05 * lr_g * 3, worst
