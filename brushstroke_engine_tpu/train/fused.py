@@ -69,6 +69,12 @@ def make_fused_train_step(cfg: TrainConfig, device_data: bool = False,
         if cfg.geom_warmstart_kimg > 0 else None
     geom_step = ts.make_geom_step(cfg, warmstart=False).__wrapped__ \
         if cfg.geom_interval > 0 and cfg.losses("geom").items else None
+    # Clarity-finetune support: fake_orig losses need the FROZEN original
+    # generator (reference G_orig, training_loop_modified.py:260-262,479).
+    needs_orig_warm = warm_step is not None and \
+        cfg.losses("warmstart").require_original_fake_image()
+    needs_orig_geom = geom_step is not None and \
+        cfg.losses("geom").require_original_fake_image()
     stitch_step = ts.make_stitch_step(cfg).__wrapped__ \
         if cfg.stitch_interval > 0 and cfg.losses("stitch").items else None
     d_main = ts.d_main_step.__wrapped__
@@ -79,7 +85,7 @@ def make_fused_train_step(cfg: TrainConfig, device_data: bool = False,
 
     def core(state, enc_params, enc_state, real_img, geom_input, geom_truth,
              k, batch_idx, warm, ema_beta, geom_input2=None, crop1=None,
-             crop2=None):
+             crop2=None, g_orig_params=None):
         feats = ts.encode_geometry(cfg, enc_params, enc_state, geom_input)
         n = real_img.shape[0]
         zdim = cfg.gen_cfg.z_dim
@@ -103,11 +109,13 @@ def make_fused_train_step(cfg: TrainConfig, device_data: bool = False,
         thunks = {"dmain": t_dmain, "dreg": t_dreg, "gmain": t_gmain,
                   "greg": t_greg}
         if geom_step is not None:
-            thunks["ggeom"] = lambda s: geom_step(s, feats, geom_truth, z3,
-                                                  k[4], ema_beta)
+            thunks["ggeom"] = lambda s: geom_step(
+                s, feats, geom_truth, z3, k[4], ema_beta,
+                g_orig_params=g_orig_params if needs_orig_geom else None)
         if warm_step is not None:
-            thunks["warm"] = lambda s: warm_step(s, feats, geom_truth, z1,
-                                                 k[4], ema_beta)
+            thunks["warm"] = lambda s: warm_step(
+                s, feats, geom_truth, z1, k[4], ema_beta,
+                g_orig_params=g_orig_params if needs_orig_warm else None)
         if stitch_step is not None:
             assert geom_input2 is not None and crop1 is not None \
                 and crop2 is not None, \
@@ -181,11 +189,12 @@ def make_fused_train_step(cfg: TrainConfig, device_data: bool = False,
         @partial(jax.jit, donate_argnums=(0,))
         def step(state, enc_params, enc_state, real_img, geom_input,
                  geom_truth, rng, batch_idx, warm, ema_beta,
-                 geom_input2=None, crop1=None, crop2=None):
+                 geom_input2=None, crop1=None, crop2=None,
+                 g_orig_params=None):
             k = jax.random.split(rng, 10)
             return core(state, enc_params, enc_state, real_img, geom_input,
                         geom_truth, k, batch_idx, warm, ema_beta,
-                        geom_input2, crop1, crop2)
+                        geom_input2, crop1, crop2, g_orig_params)
 
         return step
 
@@ -195,26 +204,28 @@ def make_fused_train_step(cfg: TrainConfig, device_data: bool = False,
     stitching = stitch_step is not None
 
     def sampled_core(state, enc_params, enc_state, style_bank, tri_bank,
-                     k, kbank, batch_idx, warm, ema_beta, crop1, crop2):
+                     k, kbank, batch_idx, warm, ema_beta, crop1, crop2,
+                     g_orig_params=None):
         real_img, tri = sample_banks(style_bank, tri_bank, kbank,
                                      cfg.batch_size, mesh=mesh)
         geom_input, geom_truth = crop_tri(tri, crop1, res)
         geom_input2 = crop_tri(tri, crop2, res)[0] if stitching else None
         return core(state, enc_params, enc_state, real_img, geom_input,
                     geom_truth, k, batch_idx, warm, ema_beta,
-                    geom_input2, crop1, crop2)
+                    geom_input2, crop1, crop2, g_orig_params)
 
     if not chunk:
         @partial(jax.jit, donate_argnums=(0,))
         def device_step(state, enc_params, enc_state, style_bank, tri_bank,
-                        rng, batch_idx, warm, ema_beta, crop1, crop2=None):
+                        rng, batch_idx, warm, ema_beta, crop1, crop2=None,
+                        g_orig_params=None):
             k = jax.random.split(rng, 11)
             if stitching:
                 assert crop2 is not None, \
                     "stitching is configured: pass crop2"
             return sampled_core(state, enc_params, enc_state, style_bank,
                                 tri_bank, k[:10], k[10], batch_idx, warm,
-                                ema_beta, crop1, crop2)
+                                ema_beta, crop1, crop2, g_orig_params)
 
         return device_step
 
@@ -223,7 +234,7 @@ def make_fused_train_step(cfg: TrainConfig, device_data: bool = False,
 
     @partial(jax.jit, donate_argnums=(0,))
     def chunk_step(state, enc_params, enc_state, style_bank, tri_bank,
-                   rng, batch_idx0, nimg0):
+                   rng, batch_idx0, nimg0, g_orig_params=None):
         tri_hw = (tri_bank.shape[1], tri_bank.shape[2])
 
         def body(s, i):
@@ -247,7 +258,7 @@ def make_fused_train_step(cfg: TrainConfig, device_data: bool = False,
                                 jnp.maximum(ema_nimg, 1e-8))
             return sampled_core(s, enc_params, enc_state, style_bank,
                                 tri_bank, k[:10], k[10], batch_idx, warm,
-                                ema_beta, crop1, crop2)
+                                ema_beta, crop1, crop2, g_orig_params)
 
         return jax.lax.scan(body, state, jnp.arange(chunk))
 

@@ -163,6 +163,25 @@ class TrainingLoop:
         if auto_resume and resume_state is None:
             self.load_train_state()
 
+        # Clarity-finetune: fake_orig losses compare against the FROZEN
+        # original (resumed) generator -- the reference's G_orig deepcopy
+        # (training_loop_modified.py:260-262).  Snapshot AFTER any resume so
+        # the target is the resumed model, and copy so step donation can't
+        # alias it.
+        self.g_orig_params = None
+        needs_orig = (
+            (self.warm_step is not None or use_fused) and
+            cfg.geom_warmstart_kimg > 0 and
+            cfg.losses("warmstart").require_original_fake_image()
+        ) or (
+            (self.geom_step is not None or use_fused) and
+            cfg.geom_interval > 0 and cfg.losses("geom").items and
+            cfg.losses("geom").require_original_fake_image()
+        )
+        if needs_orig:
+            self.g_orig_params = jax.tree_util.tree_map(
+                jnp.array, self.state["g_params"])
+
     # ------------------------------------------------------------------
 
     def _next_rng(self):
@@ -320,7 +339,8 @@ class TrainingLoop:
                     self.state, self.enc_params, self.enc_state,
                     self.device_banks.style, self.device_banks.tri,
                     self._next_rng(), np.int32(self.batch_idx),
-                    np.int32(self.cur_nimg))
+                    np.int32(self.cur_nimg),
+                    g_orig_params=self.g_orig_params)
                 note(s, "fused")
             elif self.fused_step is not None:
                 if self.device_banks is not None:
@@ -335,7 +355,8 @@ class TrainingLoop:
                         self.device_banks.style, self.device_banks.tri,
                         self._next_rng(), np.int32(self.batch_idx),
                         np.bool_(warm), ema_beta,
-                        crop1=np.asarray(crop1, np.int32), **stitch_kwargs)
+                        crop1=np.asarray(crop1, np.int32),
+                        g_orig_params=self.g_orig_params, **stitch_kwargs)
                 else:
                     stitch_kwargs = {}
                     if self.stitch_step is not None:
@@ -355,13 +376,13 @@ class TrainingLoop:
                         self._data(style), self._data(geom_input),
                         geom_truth_j, self._next_rng(),
                         np.int32(self.batch_idx), np.bool_(warm), ema_beta,
-                        **stitch_kwargs)
+                        g_orig_params=self.g_orig_params, **stitch_kwargs)
                 note(s, "fused")
             elif warm:
                 z = self._host_normal(cfg.batch_size, cfg.gen_cfg.z_dim)
                 self.state, s = self.warm_step(
                     self.state, feats, geom_truth_j, z, self._next_rng(),
-                    ema_beta)
+                    ema_beta, g_orig_params=self.g_orig_params)
                 note(s, "Ggeom-warm")
             else:
                 # Dmain
@@ -414,7 +435,8 @@ class TrainingLoop:
                     z = self._host_normal(cfg.batch_size, cfg.gen_cfg.z_dim)
                     self.state, s = self.geom_step(
                         self.state, feats, geom_truth_j, z,
-                        self._next_rng(), ema_beta)
+                        self._next_rng(), ema_beta,
+                        g_orig_params=self.g_orig_params)
                     note(s, "Ggeom")
                 # ADA p adjustment.
                 if cfg.augment is not None and \

@@ -52,6 +52,12 @@ def main():
     ap.add_argument("--crop_margin", type=int, default=10)
     ap.add_argument("--overlap_margin", type=int, default=10)
     ap.add_argument("--render_mode", default="clear")
+    ap.add_argument("--stitching_mode", choices=["all", "full", "nonempty"],
+                    default="all",
+                    help="Which patches to paint (reference "
+                         "paint_image_main.py:110): 'all' renders every "
+                         "tile; 'full' (alias 'nonempty') skips tiles "
+                         "whose geometry patch has no stroke pixels.")
     ap.add_argument("--renderer",
                     choices=["ondevice", "batched", "sequential"],
                     default="ondevice",
@@ -106,10 +112,12 @@ def main():
     img = np.asarray(PIL.Image.open(args.geo_image))
     geom = read_geometry_image(img, binarize=not args.no_binarize)
 
+    crop_mode = "nonempty" if args.stitching_mode in ("full", "nonempty") \
+        else "all"
     kw = dict(overlap_margin=args.overlap_margin,
               crop_margin=args.crop_margin,
               feature_blending_level=args.feature_blending_level,
-              on_white=args.on_white)
+              on_white=args.on_white, mode=crop_mode)
     has_jax_core = hasattr(engine, "_render_stroke_jax")
     if args.renderer == "sequential" or not has_jax_core:
         canvas = stylize_image(helper, geom, opts, **kw)

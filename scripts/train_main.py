@@ -309,12 +309,17 @@ def main(argv=None):
                                   rank=rank, num_ranks=num_ranks)
 
     resume_state = None
-    g_params = g_state = None
     if args.resume:
         from brushstroke_engine_tpu.utils.checkpoint import load_native
+        from brushstroke_engine_tpu.train.state import init_train_state
+        import jax
         bundle = load_native(args.resume)
-        g_params = bundle.gen_params
-        g_state = bundle.gen_state
+        # Build the resumed state BEFORE the loop so constructor-time
+        # consumers (the clarity-finetune G_orig snapshot) see the resumed
+        # generator, not a fresh init.
+        resume_state = init_train_state(cfg, jax.random.PRNGKey(args.seed),
+                                        g_params=bundle.gen_params,
+                                        g_state=bundle.gen_state)
 
     mesh = None
     if args.dp or multihost:
@@ -355,12 +360,8 @@ def main(argv=None):
                         use_fused=args.fused, mesh=mesh,
                         profile_dir=args.profile_dir, hooks=hooks,
                         device_banks=device_banks,
-                        steps_per_dispatch=args.steps_per_dispatch)
-    if g_params is not None:
-        from brushstroke_engine_tpu.train.state import init_train_state
-        import jax
-        loop.state = init_train_state(cfg, jax.random.PRNGKey(args.seed),
-                                      g_params=g_params, g_state=g_state)
+                        steps_per_dispatch=args.steps_per_dispatch,
+                        resume_state=resume_state)
     loop.run(exit_after_warmstart=args.exit_after_warmstart)
     print(f"Training finished; run dir: {run_dir}")
 

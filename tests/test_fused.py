@@ -188,3 +188,66 @@ def test_fused_loop_with_stitching(tmp_path):
     lines = [json.loads(ln) for ln in open(loop.stats_path)]
     stitch_vals = [ln.get("Loss/forger/Gstitch/total") for ln in lines]
     assert any(v is not None and np.isfinite(v) for v in stitch_vals)
+
+
+def test_fused_warmstart_fake_orig():
+    """Clarity-finetune inside the fused step: warmstart losses anchored to
+    the FROZEN original generator (reference finetune_flags.txt +
+    training_loop_modified.py:260-262,479).  The fake_orig target must be
+    the orig params' output: stepping twice with the SAME g_orig_params
+    keeps the anchor fixed even as g_params moves."""
+    b = small_bundle()
+    cfg = TrainConfig(
+        gen_cfg=b.gen_cfg,
+        disc_cfg=DiscriminatorConfig(c_dim=0, img_resolution=32,
+                                     img_channels=3, channel_base=2048,
+                                     channel_max=32),
+        enc_cfg=b.enc_cfg, enc_res=(0,), batch_size=2,
+        geom_warmstart_kimg=1, noise_mode="const",
+        geom_warmstart_losses="0.5*iou_inv(uvs)+0.5*l1(fake_orig)")
+    state = init_train_state(cfg, jax.random.PRNGKey(0),
+                             g_params=b.gen_params, g_state=b.gen_state)
+    g_orig = jax.tree_util.tree_map(jnp.array, state["g_params"])
+    step = make_fused_train_step(cfg)
+    rng0 = np.random.RandomState(0)
+    real = jnp.asarray(rng0.randn(2, 32, 32, 3), jnp.float32)
+    geom = jnp.asarray((rng0.rand(2, 32, 32, 1) > 0.5), jnp.float32)
+
+    state, stats = step(state, b.enc_params, b.enc_state, real, geom, geom,
+                        jax.random.PRNGKey(1), jnp.int32(0),
+                        jnp.bool_(True), jnp.float32(0.99),
+                        g_orig_params=g_orig)
+    ran = {k for k, v in stats.items() if np.isfinite(float(v))}
+    assert "Loss/forger/Ggeom-warm/l1_fake_orig" in ran
+    # Step 1 compares G(z) to G_orig(z) on IDENTICAL params + rng -> ~0.
+    assert float(stats["Loss/forger/Ggeom-warm/l1_fake_orig"]) < 1e-5
+
+    state, stats = step(state, b.enc_params, b.enc_state, real, geom, geom,
+                        jax.random.PRNGKey(1), jnp.int32(1),
+                        jnp.bool_(True), jnp.float32(0.99),
+                        g_orig_params=g_orig)
+    # After one update g_params != g_orig -> anchored loss is now nonzero.
+    assert float(stats["Loss/forger/Ggeom-warm/l1_fake_orig"]) > 0
+
+
+def test_fused_fake_orig_requires_params():
+    """Configured fake_orig losses without g_orig_params must fail loudly."""
+    b = small_bundle()
+    cfg = TrainConfig(
+        gen_cfg=b.gen_cfg,
+        disc_cfg=DiscriminatorConfig(c_dim=0, img_resolution=32,
+                                     img_channels=3, channel_base=2048,
+                                     channel_max=32),
+        enc_cfg=b.enc_cfg, enc_res=(0,), batch_size=2,
+        geom_warmstart_kimg=1,
+        geom_warmstart_losses="0.5*l1(fake_orig)")
+    state = init_train_state(cfg, jax.random.PRNGKey(0),
+                             g_params=b.gen_params, g_state=b.gen_state)
+    step = make_fused_train_step(cfg)
+    rng0 = np.random.RandomState(0)
+    real = jnp.asarray(rng0.randn(2, 32, 32, 3), jnp.float32)
+    geom = jnp.asarray((rng0.rand(2, 32, 32, 1) > 0.5), jnp.float32)
+    with pytest.raises(AssertionError):
+        step(state, b.enc_params, b.enc_state, real, geom, geom,
+             jax.random.PRNGKey(1), jnp.int32(0), jnp.bool_(True),
+             jnp.float32(0.99))

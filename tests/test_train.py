@@ -712,3 +712,74 @@ class TestShortLoop:
         assert loop.in_warmstart()
         loop.run(total_kimg=4 / 1000.0, exit_after_warmstart=True)
         assert not loop.in_warmstart()
+
+
+class TestClarityFinetune:
+    """The reference's second training stage (finetune_flags.txt): a
+    warmstart-only run resumed from a trained snapshot whose fake_orig
+    losses anchor to the FROZEN original generator (G_orig deepcopy,
+    training_loop_modified.py:260-262,479)."""
+
+    def test_loop_snapshots_g_orig_from_resume(self, tmp_path):
+        from brushstroke_engine_tpu.train.loop import TrainingLoop
+        from brushstroke_engine_tpu.train.state import init_train_state
+
+        cfg, b = make_train_cfg(
+            batch_size=2, noise_mode="const",
+            geom_warmstart_kimg=4 / 1000.0,
+            geom_warmstart_losses="0.5*iou_inv(uvs)+0.5*l1(fake_orig)",
+            kimg_per_tick=0,
+        )
+        resume = init_train_state(cfg, jax.random.PRNGKey(7),
+                                  g_params=b.gen_params,
+                                  g_state=b.gen_state)
+        want = jax.tree_util.tree_map(np.array, resume["g_params"])
+
+        class StyleIter:
+            def __next__(self):
+                return (np.random.RandomState(0).rand(2, 32, 32, 3)
+                        * 255).astype(np.uint8)
+
+        geo_ds = SyntheticGeometryDataset(40, size=4)
+
+        class GeomIter:
+            def __init__(self):
+                self.i = 0
+
+            def __next__(self):
+                self.i += 1
+                return np.stack([geo_ds[self.i % 4],
+                                 geo_ds[(self.i + 1) % 4]])
+
+        loop = TrainingLoop(cfg, b.enc_params, b.enc_state, StyleIter(),
+                            GeomIter(), run_dir=str(tmp_path),
+                            resume_state=resume)
+        # The G_orig anchor is the RESUMED generator, captured before any
+        # step could donate/overwrite the state buffers.
+        assert loop.g_orig_params is not None
+        got = jax.tree_util.tree_map(np.array, loop.g_orig_params)
+        for w, g in zip(jax.tree_util.tree_leaves(want),
+                        jax.tree_util.tree_leaves(got)):
+            np.testing.assert_array_equal(w, g)
+
+        loop.run(total_kimg=4 / 1000.0, exit_after_warmstart=True)
+        assert any("l1_fake_orig" in k for k in loop._last_stats), \
+            sorted(loop._last_stats)
+        # The anchor stayed intact across donating steps.
+        got = jax.tree_util.tree_map(np.array, loop.g_orig_params)
+        for w, g in zip(jax.tree_util.tree_leaves(want),
+                        jax.tree_util.tree_leaves(got)):
+            np.testing.assert_array_equal(w, g)
+
+    def test_no_orig_snapshot_without_fake_orig_losses(self, tmp_path):
+        from brushstroke_engine_tpu.train.loop import TrainingLoop
+
+        cfg, b = make_train_cfg(
+            batch_size=2,
+            geom_warmstart_kimg=4 / 1000.0,
+            geom_warmstart_losses="1.0*iou_inv(uvs)",
+            kimg_per_tick=0,
+        )
+        loop = TrainingLoop(cfg, b.enc_params, b.enc_state, None, None,
+                            run_dir=str(tmp_path))
+        assert loop.g_orig_params is None
