@@ -143,7 +143,7 @@ def main():
     # co-located serving sees the device+protocol cost only.
     ws = {}
     try:
-        ws = measure_ws_slo(bundle, sessions=2, strokes=12, warmup=4)
+        ws = measure_ws_slo(bundle, sessions=8, strokes=136, warmup=8)
     except Exception as e:
         ws = {"ws_error": str(e)[:200]}
 
@@ -207,6 +207,8 @@ def measure_ws_slo(bundle, sessions=2, strokes=12, warmup=4):
             await ws.read_message()
         ws.write_message(_json.dumps({"type": "set_option",
                                       "option": "positions", "value": True}))
+        ws.write_message(_json.dumps({"type": "set_option",
+                                      "option": "timing", "value": True}))
         ws.write_message(_json.dumps({"type": "new_canvas", "rows": 1024,
                                       "cols": 1024, "feature_blending": 2}))
         rng = np.random.RandomState(100 + sid)
@@ -221,8 +223,16 @@ def measure_ws_slo(bundle, sessions=2, strokes=12, warmup=4):
                 if isinstance(raw, (bytes, bytearray)):
                     protocol.decode_render_response(raw)
                     break
+            rtt = (time.perf_counter() - t0) * 1e3
+            # Server-side timing side-channel follows the binary response.
+            timing = None
+            raw = await ws.read_message()
+            if isinstance(raw, str):
+                msg = _json.loads(raw)
+                if msg.get("type") == "timing":
+                    timing = msg["data"]
             if i >= warmup:
-                out.append((time.perf_counter() - t0) * 1e3)
+                out.append((rtt, timing))
         ws.close()
 
     async def run():
@@ -240,15 +250,30 @@ def measure_ws_slo(bundle, sessions=2, strokes=12, warmup=4):
             srv.stop()
         return out
 
-    times = np.asarray(asyncio.run(run()))
-    if times.size == 0:
+    samples = asyncio.run(run())
+    if not samples:
         return {"ws_error": "no strokes completed within timeout"}
-    return {
+    times = np.asarray([rtt for rtt, _ in samples])
+    res = {
         "ws_p50_ms": round(float(np.percentile(times, 50)), 2),
         "ws_p99_ms": round(float(np.percentile(times, 99)), 2),
         "ws_sessions": sessions,
         "ws_strokes_measured": int(times.size),
     }
+    # Decomposition from the server's per-stroke timing side-channel:
+    # the in-process loopback has ~0 wire cost, so over the dev tunnel
+    # server_ms isolates the chip round trip from the wire and a
+    # co-located deployment's expected latency is server_* directly.
+    timed = [(rtt, t) for rtt, t in samples if t is not None]
+    if timed:
+        sv = np.asarray([t["server_ms"] for _, t in timed])
+        rd = np.asarray([t["render_ms"] for _, t in timed])
+        res.update({
+            "ws_server_p50_ms": round(float(np.percentile(sv, 50)), 2),
+            "ws_server_p99_ms": round(float(np.percentile(sv, 99)), 2),
+            "ws_render_p50_ms": round(float(np.percentile(rd, 50)), 2),
+        })
+    return res
 
 
 if __name__ == "__main__":

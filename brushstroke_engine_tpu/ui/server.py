@@ -9,7 +9,10 @@ no Flask).  Routes and the wire protocol match the reference:
   WS  /websocket/            binary render requests + JSON control messages
 
 JSON control messages: set_brush, save_brush, set_option(positions,
-uvs_mapping), set_render_mode, new_canvas (reference util.py:216-242).
+uvs_mapping, timing), set_render_mode, new_canvas (reference
+util.py:216-242; `timing` is an additive opt-in: after each binary render
+response the server emits a JSON timing message decomposing queue wait,
+render time, and total server time for that stroke).
 """
 
 from __future__ import annotations
@@ -21,6 +24,7 @@ import logging
 import os
 import random
 import re
+import time
 
 import numpy as np
 import tornado.ioloop
@@ -67,6 +71,15 @@ class DrawingWebSocketHandler(tornado.websocket.WebSocketHandler):
         self.dev_session = None
         self._canvas_shape = None
         self._blend_level = 0
+        # Per-stroke server-side timing side-channel (opt-in via
+        # set_option timing=1): after each binary render response the
+        # server sends a JSON {"type": "timing"} message decomposing the
+        # server cost (queue wait, render/device time, total) so SLO
+        # probes can separate server cost from wire/tunnel cost.  The
+        # binary wire format (reference forger/ui/util.py:26-105) is
+        # untouched.
+        self.collect_timing = False
+        self._stroke_seq = 0
 
     def open(self):
         logger.debug("Socket opened.")
@@ -118,19 +131,39 @@ class DrawingWebSocketHandler(tornado.websocket.WebSocketHandler):
             else:
                 self._handle_json_request(message)
         except tornado.websocket.WebSocketClosedError:
-            # Client went away while a stroke was in flight — drop quietly.
-            pass
+            # Client went away while a stroke was in flight.
+            logger.debug("client disconnected mid-stroke; dropping response")
         except Exception as e:
             logger.exception(f"Failed to handle incoming message: {e}")
 
     async def _handle_binary_request(self, raw):
+        t_recv = time.perf_counter()
         meta, offset = protocol.decode_render_request_metadata(raw)
         patch_meta, img_stroke, img_canvas = \
             protocol.binary_to_image_patches(raw, offset)
         meta.update(patch_meta)
-        await self._handle_image_request(meta, img_stroke, img_canvas)
+        await self._handle_image_request(meta, img_stroke, img_canvas,
+                                         t_recv=t_recv)
 
-    async def _handle_image_request(self, meta, bg_img, fg_img):
+    def _send_timing(self, t_recv, t_start, t_end, path):
+        """JSON timing message for the stroke just answered (opt-in)."""
+        if not self.collect_timing or t_recv is None:
+            return
+        seq = self._stroke_seq
+        self._stroke_seq += 1
+        now = time.perf_counter()
+        try:
+            self.write_message({"type": "timing", "data": {
+                "seq": seq,
+                "queue_ms": round((t_start - t_recv) * 1e3, 3),
+                "render_ms": round((t_end - t_start) * 1e3, 3),
+                "server_ms": round((now - t_recv) * 1e3, 3),
+                "path": path}}, binary=False)
+        except tornado.websocket.WebSocketClosedError:
+            logger.debug("client disconnected before timing message")
+
+    async def _handle_image_request(self, meta, bg_img, fg_img,
+                                    t_recv=None):
         opts = self.helper.default_brush_options()
         for colorinfo in meta["colors"]:
             opts.set_color(int(colorinfo[0]), np.asarray(colorinfo[1:],
@@ -163,13 +196,19 @@ class DrawingWebSocketHandler(tornado.websocket.WebSocketHandler):
                 # queueing.  Safe because tornado serializes messages per
                 # connection (each session's strokes stay ordered on its
                 # own canvas) and JAX dispatch is thread-safe.
-                res_img, meta_out = await tornado.ioloop.IOLoop.current() \
-                    .run_in_executor(None, self.dev_session.render_stroke,
-                                     bg_img, opts, int(meta["x"]),
-                                     int(meta["y"]))
+                def timed_render(_bg=bg_img, _o=opts, _x=int(meta["x"]),
+                                 _y=int(meta["y"])):
+                    t0 = time.perf_counter()
+                    out = self.dev_session.render_stroke(_bg, _o, _x, _y)
+                    return out, t0, time.perf_counter()
+
+                (res_img, meta_out), t0, t1 = \
+                    await tornado.ioloop.IOLoop.current() \
+                    .run_in_executor(None, timed_render)
                 head = protocol.int32_to_binary(meta["extra_data"] or 0)
                 self.write_message(head + protocol.image_patch_to_binary(
                     res_img, meta_out["x"], meta_out["y"]), binary=True)
+                self._send_timing(t_recv, t0, t1, "device_canvas")
                 return
 
         if self.batcher is not None and is_full_patch \
@@ -178,20 +217,29 @@ class DrawingWebSocketHandler(tornado.websocket.WebSocketHandler):
                 and not opts.custom_args.get("noise_buffers"):
             extra = meta["extra_data"] or 0
 
-            def respond(img, meta_out, _extra=extra):
+            def respond(img, meta_out, _extra=extra, _t_recv=t_recv):
                 self.write_message(
                     protocol.int32_to_binary(_extra)
                     + protocol.image_patch_to_binary(
                         img, meta_out["x"], meta_out["y"]), binary=True)
+                # The batcher stamps the shared dispatch window into
+                # meta_out; queue time = wait for the flush window.
+                t0 = meta_out.get("_t_start")
+                t1 = meta_out.get("_t_end")
+                if t0 is not None and t1 is not None:
+                    self._send_timing(_t_recv, t0, t1, "batched")
 
             self.batcher.submit(self.helper, opts, bg_img, meta, respond)
             return
 
+        t0 = time.perf_counter()
         res_img, debug_img, meta_out = self.helper.render_stroke(
             bg_img, fg_img, opts, meta)
+        t1 = time.perf_counter()
         head = protocol.int32_to_binary(meta["extra_data"] or 0)
         self.write_message(head + protocol.image_patch_to_binary(
             res_img, meta_out["x"], meta_out["y"]), binary=True)
+        self._send_timing(t_recv, t0, t1, "helper")
         if debug_img is not None:
             self.write_message(
                 protocol.int32_to_binary(1)
@@ -227,6 +275,8 @@ class DrawingWebSocketHandler(tornado.websocket.WebSocketHandler):
                 self.use_positions = bool(msg.get("value"))
             elif msg.get("option") == "uvs_mapping":
                 self.uvs_mapping = bool(msg.get("value"))
+            elif msg.get("option") == "timing":
+                self.collect_timing = bool(msg.get("value"))
         elif mtype == "set_render_mode":
             self.helper.set_render_mode(msg.get("mode"))
         elif mtype == "new_canvas":
@@ -383,8 +433,11 @@ class RenderBatcher:
     def _respond_single(self, it):
         """Per-request fallback path (also the batch-failure recovery)."""
         try:
+            t0 = time.perf_counter()
             img, _debug, out_meta = it["helper"].render_stroke(
                 it["patch"], None, it["opts"], it["meta"])
+            out_meta["_t_start"] = t0
+            out_meta["_t_end"] = time.perf_counter()
             it["respond"](img, out_meta)
         except Exception:
             logger.exception("RenderBatcher: per-request fallback failed; "
@@ -453,6 +506,7 @@ class RenderBatcher:
                 blended = {res: (feats, alphas)}
 
             try:
+                t0 = time.perf_counter()
                 out = self.engine.render_batch(
                     geoms, [it["opts"] for it in pad],
                     blended_features=blended, return_features=rf)
@@ -469,6 +523,9 @@ class RenderBatcher:
                                for r in rf}
                     img, out_meta = it["helper"].finish_render(
                         it["prep"], rgba[i], raw_row)
+                    # Timing side-channel: the shared dispatch window.
+                    out_meta["_t_start"] = t0
+                    out_meta["_t_end"] = time.perf_counter()
                     it["respond"](img, out_meta)
                 except Exception:
                     logger.exception("RenderBatcher: finishing one request "

@@ -80,9 +80,14 @@ async def drive_session(port: int, sid: int, width: int, n_strokes: int,
         await ws.read_message()
     # Positional noise on (as the live client does when the server runs
     # with --device_canvas): routes strokes through the single-dispatch
-    # device-resident canvas path.
+    # device-resident canvas path.  Timing on: the server answers every
+    # binary response with a JSON timing message decomposing queue wait /
+    # render time / total server time, so the report can separate server
+    # cost from wire (tunnel) cost.
     ws.write_message(json.dumps({"type": "set_option",
                                  "option": "positions", "value": True}))
+    ws.write_message(json.dumps({"type": "set_option",
+                                 "option": "timing", "value": True}))
     ws.write_message(json.dumps({"type": "new_canvas", "rows": 1024,
                                  "cols": 1024, "feature_blending": 2}))
     rng = np.random.RandomState(1000 + sid)
@@ -100,8 +105,17 @@ async def drive_session(port: int, sid: int, width: int, n_strokes: int,
             if isinstance(raw, (bytes, bytearray)):
                 protocol.decode_render_response(raw)
                 break
+        rtt_ms = (time.perf_counter() - t0) * 1e3
+        # The per-stroke timing message follows its binary response in
+        # order on the same connection.
+        timing = None
+        raw = await ws.read_message()
+        if isinstance(raw, str):
+            msg = json.loads(raw)
+            if msg.get("type") == "timing":
+                timing = msg["data"]
         if i >= warmup:
-            times.append((time.perf_counter() - t0) * 1e3)
+            times.append((rtt_ms, timing))
     ws.close()
     results[sid] = times
 
@@ -118,8 +132,8 @@ async def run_sessions(port, sessions, width, n_strokes, warmup):
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--sessions", type=int, default=4)
-    ap.add_argument("--strokes", type=int, default=40)
+    ap.add_argument("--sessions", type=int, default=8)
+    ap.add_argument("--strokes", type=int, default=136)
     ap.add_argument("--warmup", type=int, default=8)
     ap.add_argument("--resolution", type=int, default=256)
     ap.add_argument("--port", type=int, default=8783)
@@ -144,20 +158,40 @@ def main():
             proc.kill()
             proc.wait()
 
-    all_times = np.asarray(sum(results.values(), []))
+    samples = sum(results.values(), [])
+    all_times = np.asarray([rtt for rtt, _ in samples])
     measured = args.sessions * (args.strokes - args.warmup)
+
+    def pcts(arr, prefix):
+        arr = np.asarray(arr)
+        if arr.size == 0:
+            return {}
+        return {
+            f"{prefix}_p50_ms": round(float(np.percentile(arr, 50)), 2),
+            f"{prefix}_p90_ms": round(float(np.percentile(arr, 90)), 2),
+            f"{prefix}_p99_ms": round(float(np.percentile(arr, 99)), 2),
+        }
+
     out = {
         "sessions": args.sessions,
         "strokes_measured": int(all_times.size),
         "resolution": args.resolution,
         "batch_window_ms": args.batch_window_ms,
-        "ws_p50_ms": round(float(np.percentile(all_times, 50)), 2),
-        "ws_p90_ms": round(float(np.percentile(all_times, 90)), 2),
-        "ws_p99_ms": round(float(np.percentile(all_times, 99)), 2),
+        **pcts(all_times, "ws"),
         "ws_max_ms": round(float(all_times.max()), 2),
         "aggregate_strokes_per_sec": round(measured / wall, 1),
         "server_log": log_path,
     }
+    # Server-side decomposition (instrumented timing side-channel):
+    # tunnel/wire cost per stroke = round trip minus total server time.
+    timed = [(rtt, t) for rtt, t in samples if t is not None]
+    if timed:
+        out.update(pcts([t["server_ms"] for _, t in timed], "server"))
+        out.update(pcts([t["render_ms"] for _, t in timed], "render"))
+        out.update(pcts([t["queue_ms"] for _, t in timed], "queue"))
+        out.update(pcts([rtt - t["server_ms"] for rtt, t in timed],
+                        "wire"))
+        out["timing_path"] = timed[0][1].get("path")
     print(json.dumps(out))
     return 0
 

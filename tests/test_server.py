@@ -449,7 +449,10 @@ class TestRenderBatcherSemantics:
         assert len(results) == 2
         assert not b.items
         for (img_s, meta_s), (img_b, meta_b) in zip(serial, results):
-            assert meta_b == meta_s
+            # Ignore the private timing stamps the batcher adds for the
+            # SLO side-channel.
+            assert {k: v for k, v in meta_b.items()
+                    if not k.startswith("_")} == meta_s
             diff = np.abs(img_s.astype(int) - img_b.astype(int)).mean()
             assert diff < 2.0, f"batched path diverged from serial: {diff}"
 
@@ -473,7 +476,8 @@ class TestRenderBatcherSemantics:
         assert len(results) == 2
         for img, meta in results:
             assert img.shape == (pw, pw, 4)
-            assert meta == {"x": 16, "y": 16}
+            assert {k: v for k, v in meta.items()
+                    if not k.startswith("_")} == {"x": 16, "y": 16}
 
     def test_one_bad_respond_does_not_drop_others(self):
         eng = self._engine()
@@ -493,3 +497,69 @@ class TestRenderBatcherSemantics:
         b.flush()
         assert len(results) == 1
         assert results[0][0].shape == (pw, pw, 4)
+
+
+class TestTimingSideChannel(ServerTestBase):
+    """set_option timing=1: every binary render response is followed by a
+    JSON timing message decomposing queue/render/server cost -- the
+    instrumentation behind the serving-SLO decomposition (the binary wire
+    format stays reference-identical)."""
+
+    def _prepare(self):
+        bundle = small_bundle()
+        self.gan_checkpoint = os.path.join(self.tmpdir, "bundle.pkl")
+        save_native(self.gan_checkpoint, bundle)
+
+    def get_app(self):
+        return create_server(
+            encoder_checkpoint=None,
+            gan_checkpoint=self.gan_checkpoint,
+            library_specs=[],
+            use_device_canvas=True)
+
+    @tornado.testing.gen_test(timeout=120)
+    def test_timing_messages(self):
+        ws = yield tornado.websocket.websocket_connect(
+            f"ws://localhost:{self.get_http_port()}/websocket/")
+        info = json.loads((yield ws.read_message()))
+        pw = info["data"]["patch_width"]
+        yield ws.read_message()  # brushinfo
+
+        ws.write_message(json.dumps({"type": "new_canvas", "rows": 128,
+                                     "cols": 128, "feature_blending": 2}))
+        ws.write_message(json.dumps({"type": "set_option",
+                                     "option": "positions", "value": True}))
+        ws.write_message(json.dumps({"type": "set_option",
+                                     "option": "timing", "value": True}))
+
+        patch = np.zeros((pw, pw, 4), np.uint8)
+        patch[4:20, 4:20, 3] = 255
+        seqs = []
+        for i, (x, y) in enumerate(((16, 16), (32, 16))):
+            raw = protocol.encode_render_request(patch, x=x, y=y,
+                                                 crop_margin=4)
+            ws.write_message(raw, binary=True)
+            resp = yield ws.read_message()
+            rtype, _meta, _img = protocol.decode_render_response(resp)
+            assert rtype == 0
+            timing = json.loads((yield ws.read_message()))
+            assert timing["type"] == "timing"
+            d = timing["data"]
+            seqs.append(d["seq"])
+            assert d["path"] == "device_canvas"
+            assert 0 <= d["queue_ms"] < d["server_ms"]
+            assert 0 < d["render_ms"] <= d["server_ms"]
+            assert d["server_ms"] >= d["queue_ms"] + d["render_ms"] - 0.01
+        assert seqs == [0, 1]
+
+        # Opt back out: next stroke gets ONLY the binary response.
+        ws.write_message(json.dumps({"type": "set_option",
+                                     "option": "timing", "value": False}))
+        ws.write_message(protocol.encode_render_request(
+            patch, x=48, y=16, crop_margin=4), binary=True)
+        resp = yield ws.read_message()
+        assert isinstance(resp, bytes)
+        ws.write_message(json.dumps({"type": "set_brush", "seed": 5}))
+        nxt = json.loads((yield ws.read_message()))
+        assert nxt["type"] == "brushinfo"   # no timing in between
+        ws.close()
