@@ -93,6 +93,21 @@ class TrainConfig:
     total_kimg: int = 10000
     kimg_per_tick: int = 4
 
+    def __post_init__(self):
+        # Known XLA:TPU compile pathology (docs/ARCHITECTURE.md, repro in
+        # scripts/repro_b128_compile_pathology.py): the generator FORWARD
+        # at EXACTLY batch 128 and 128px compiles to an ~11x slower
+        # program (96 ms vs 15 ms at B=64, 26 ms at B=160).  B=96/112/160
+        # and 256px/B=128 are all fine.  Warn so nobody hits it cold.
+        if self.batch_size == 128 and \
+                getattr(self.gen_cfg, "img_resolution", None) == 128:
+            import logging
+            logging.getLogger(__name__).warning(
+                "batch_size=128 at 128px hits a known XLA:TPU compile "
+                "pathology (~11x slower generator forward). Prefer batch "
+                "96, 112, or 160; see docs/ARCHITECTURE.md and "
+                "scripts/repro_b128_compile_pathology.py.")
+
     def losses(self, which: str) -> ForgerLosses:
         s = {"main": self.main_phase_losses,
              "geom": self.geom_phase_losses,
