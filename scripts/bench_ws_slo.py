@@ -37,11 +37,14 @@ def make_checkpoint(path: str, resolution: int):
                                           num_bf16_res=6))
 
 
-def launch_server(ckpt: str, port: int, batch_window_ms: int, log_path: str):
+def launch_server(ckpt: str, port: int, batch_window_ms: int, log_path: str,
+                  device_canvas: bool = True):
     env = dict(os.environ)
     cmd = [sys.executable, "-m", "brushstroke_engine_tpu.ui.server",
            "--gan_checkpoint", ckpt, "--port", str(port),
-           "--disable_z_saving", "--device_canvas"]
+           "--disable_z_saving"]
+    if device_canvas:
+        cmd += ["--device_canvas"]
     if batch_window_ms:
         cmd += ["--batch_window_ms", str(batch_window_ms)]
     log = open(log_path, "w")
@@ -139,6 +142,12 @@ def main():
     ap.add_argument("--port", type=int, default=8783)
     ap.add_argument("--batch_window_ms", type=int, default=6)
     ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--no_device_canvas", action="store_true",
+                    help="Serve WITHOUT --device_canvas so full-patch "
+                         "strokes route through the cross-session "
+                         "RenderBatcher: concurrent painters coalesce "
+                         "into one dispatch per flush window (the right "
+                         "trade on a high-dispatch-latency link).")
     ap.add_argument("--keep_server", action="store_true")
     args = ap.parse_args()
 
@@ -148,7 +157,8 @@ def main():
         ckpt = os.path.join(workdir, "bundle.pkl")
         make_checkpoint(ckpt, args.resolution)
     log_path = os.path.join(workdir, "server.log")
-    proc = launch_server(ckpt, args.port, args.batch_window_ms, log_path)
+    proc = launch_server(ckpt, args.port, args.batch_window_ms, log_path,
+                         device_canvas=not args.no_device_canvas)
     try:
         results, wall = asyncio.run(run_sessions(
             args.port, args.sessions, args.resolution, args.strokes,

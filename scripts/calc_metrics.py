@@ -39,6 +39,14 @@ def main():
     ap.add_argument("--batch_size", type=int, default=16)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default=None, help="Optional JSON output path.")
+    ap.add_argument("--manifest", default=None,
+                    help="Path to a pinned regression manifest "
+                         "(metrics_manifest.json): forces/verifies the "
+                         "protocol parameters (metrics, num_items, batch, "
+                         "seed, detector kind) so the resulting numbers "
+                         "are comparable to the recorded yardstick by "
+                         "construction; prints deltas vs the recorded "
+                         "values at the end.")
     ap.add_argument("--detector", default=None,
                     help="Path to real Inception-v3 detector weights "
                          "(torchvision or reference-TorchScript state_dict); "
@@ -46,6 +54,25 @@ def main():
                          "random fallback.")
     args = ap.parse_args()
     logging.basicConfig(level=logging.INFO)
+
+    manifest = None
+    if args.manifest:
+        with open(args.manifest) as f:
+            manifest = json.load(f)
+        proto = manifest["protocol"]
+        # Protocol parameters come FROM the manifest; explicitly passed
+        # conflicting values are an error, not a silent divergence.
+        for flag, key in (("metrics", "metrics"),
+                          ("num_items", "num_items"),
+                          ("batch_size", "batch_size"), ("seed", "seed")):
+            want = proto[key]
+            got = getattr(args, flag)
+            default = ap.get_default(flag)
+            if got != default and got != want:
+                ap.error(f"--{flag}={got!r} conflicts with the manifest's "
+                         f"pinned {key}={want!r}")
+            setattr(args, flag, want)
+
     metrics = [m.strip() for m in args.metrics.split(",") if m.strip()]
 
     import jax.numpy as jnp
@@ -153,6 +180,18 @@ def main():
     # values are valid for regression tracking but NOT comparable to
     # published (pretrained-Inception) metric values.
     out["detector"] = fid_lib.default_detector_kind()
+    if manifest is not None:
+        want_det = manifest["protocol"].get("detector")
+        if want_det and out["detector"] != want_det:
+            raise SystemExit(
+                f"detector kind {out['detector']!r} does not match the "
+                f"manifest's pinned {want_det!r}; the numbers would not be "
+                "comparable to the recorded yardstick")
+        recorded = manifest.get("recorded", {})
+        out["vs_recorded"] = {
+            k: round(float(out[k]) - float(v), 6)
+            for k, v in recorded.items()
+            if k in out and isinstance(v, (int, float))}
     line = json.dumps(out)
     print(line)
     if args.out:

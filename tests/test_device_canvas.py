@@ -109,3 +109,31 @@ class TestDeviceSession:
         opts.set_color(0, np.asarray([255, 0, 0], np.uint8))
         red, _ = sess.render_stroke(p, opts, x=0, y=0)
         assert not np.array_equal(base, red)
+
+
+class TestDispatchFetchSplit:
+    def test_pipelined_dispatch_matches_serial(self):
+        """The dispatch/fetch split exists so a server can enqueue the next
+        stroke before the previous one's pixels reach the host.  Dispatch
+        two OVERLAPPING strokes back-to-back (no fetch in between: the
+        canvas state advances as a device future), then fetch both; the
+        results must match the serial render_stroke sequence bit-exactly on
+        an identically seeded fresh session."""
+        eng = make_engine()
+        opts = GanBrushOptions()
+        opts.set_style(eng.random_style(5), 5)
+        pa = stroke_patch(eng.patch_width, seed=2)
+        pb = stroke_patch(eng.patch_width, seed=3)
+
+        sess1 = DevicePaintSession(eng, 128, 128, feature_blending_level=1)
+        ra, ma = sess1.render_stroke_dispatch(pa, opts, x=32, y=32)
+        rb, mb = sess1.render_stroke_dispatch(pb, opts, x=48, y=32)
+        img_a, img_b = sess1.fetch(ra), sess1.fetch(rb)
+
+        sess2 = DevicePaintSession(eng, 128, 128, feature_blending_level=1)
+        sa, mas = sess2.render_stroke(pa, opts, x=32, y=32)
+        sb, mbs = sess2.render_stroke(pb, opts, x=48, y=32)
+
+        assert ma == mas and mb == mbs
+        np.testing.assert_array_equal(img_a, sa)
+        np.testing.assert_array_equal(img_b, sb)

@@ -1,5 +1,7 @@
 """Tests for brush optimization/search tools."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -179,3 +181,32 @@ class TestClipSearch:
         res = opt.optimize("scratchy ink", w0, geometry_batches())
         assert res["w"].shape == w0.shape
         assert np.isfinite(res["loss"])
+
+
+class TestMetricManifest:
+    """calc_metrics --manifest pins the yardstick protocol: conflicting
+    explicit flags fail fast, pinned values are adopted."""
+
+    def test_conflicting_flag_rejected(self, tmp_path):
+        import json as _json
+        import subprocess
+        import sys
+        repo = os.path.join(os.path.dirname(__file__), os.pardir)
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        proc = subprocess.run(
+            [sys.executable, "scripts/calc_metrics.py",
+             "--gan_checkpoint", "/nonexistent.pkl",
+             "--manifest", "metrics_manifest.json",
+             "--num_items", "5"],
+            capture_output=True, text=True, cwd=repo, env=env, timeout=300)
+        assert proc.returncode == 2, proc.stderr
+        assert "conflicts with the manifest" in proc.stderr
+
+    def test_manifest_is_wellformed(self):
+        import json as _json
+        repo = os.path.join(os.path.dirname(__file__), os.pardir)
+        m = _json.load(open(os.path.join(repo, "metrics_manifest.json")))
+        proto = m["protocol"]
+        assert proto["num_items"] == 1200 and proto["detector"] == "random"
+        assert set(m["recorded"]) >= {"fid", "kid", "is", "precision",
+                                      "recall", "ppl_w"}
