@@ -189,10 +189,64 @@ class GanPaintEngine(PaintEngine):
         # batch over this 1-axis mesh (see set_serving_mesh).
         self.serving_mesh = None
         self._mesh_params = None
+        # Static-PTQ int8 serving (enable_int8_serving): per-call-site
+        # activation scales baked into subsequent render traces.
+        self._int8_scales = None
 
         # Imported lazily to avoid a cycle (mapper renders via this engine).
         from brushstroke_engine_tpu.engine.mapper import StyleUVSMapper
         self.uvs_mapper = StyleUVSMapper(self)
+
+    def enable_int8_serving(self, calib_batch: int = 4, seed: int = 0):
+        """Static-calibration int8 PTQ for the serving path (opt-in).
+
+        Runs ONE eager calibration render on representative stroke
+        geometry (diagonal strokes, ``calib_batch`` random styles),
+        records each stride-1 conv's activation amax, and bakes the
+        resulting scales as constants into every subsequent render trace
+        — the synthesis stack then runs on the double-rate int8 MXU with
+        NO per-conv amax pass (measured 30.7 -> 23.8 ms for the 256px
+        B=128 synthesis block, scripts/microbench_render_parts.py
+        --int8_static; quality gates in tests/test_quant.py, PSNR>25 dB).
+        Inference-only; call BEFORE warmup so the warmed programs carry
+        the scales."""
+        from brushstroke_engine_tpu.ops import quant
+        w = self.patch_width
+        rng = np.random.RandomState(seed)
+
+        def stroke_geom(kind):
+            patch = np.zeros((w, w, 4), np.uint8)
+            if kind == 0:        # diagonal stroke
+                for i in range(w):
+                    patch[max(0, i - 4):i + 4, i, 3] = 255
+            elif kind == 1:      # fat blob
+                patch[w // 4:-w // 4, w // 4:-w // 4, 3] = 255
+            else:                # empty canvas
+                pass
+            return self.prepare_geom_input(patch)
+
+        # Per-site max over several (geometry, style) pairs, plus
+        # headroom: static per-tensor scales must cover activations the
+        # calibration didn't see, or out-of-range values clip.
+        per_pass = []
+        for k in range(max(calib_batch, 1)):
+            geom = stroke_geom(k % 3)
+            opts = GanBrushOptions()
+            opts.set_style(rng.randn(1, self.gen_cfg.z_dim))
+            per_pass.append(quant.eager_calibrate(
+                self._run_core, jnp.asarray(geom), opts))
+        headroom = 1.25
+        self._int8_scales = [headroom * max(s[i] for s in per_pass)
+                             for i in range(len(per_pass[0]))]
+        return self._int8_scales
+
+    def _quant_key(self):
+        """Static jit-cache key for int8 serving: a hashable scales tuple
+        (None = bf16).  Passed as a STATIC argument so enabling/disabling
+        int8 retraces instead of silently reusing the other executable."""
+        if not self._int8_scales:
+            return None
+        return tuple(self._int8_scales)
 
     def set_serving_mesh(self, mesh):
         """Shard batched serving renders over a 1-axis ``jax.sharding.Mesh``
@@ -240,18 +294,20 @@ class GanPaintEngine(PaintEngine):
         out = render_core(
             self.gen_cfg, self.enc_cfg, self.enc_res, self.render_mode,
             tuple(return_features), self.color_format,
-            self.gen_params, self.gen_state, self.enc_params, self.enc_state,
+            self.gen_params, self.gen_state, self.enc_params,
+            self.enc_state,
             jnp.asarray(geom),
             None if opts.style_z is None else jnp.asarray(opts.style_z,
                                                           jnp.float32),
-            None if opts.style_ws is None else jnp.asarray(opts.style_ws,
-                                                           jnp.float32),
+            None if opts.style_ws is None else jnp.asarray(
+                opts.style_ws, jnp.float32),
             None if positions is None else jnp.asarray(positions),
             noise_buffers,
             None if override is None else jnp.asarray(override),
             None if mask is None else jnp.asarray(mask),
             blended_features,
-            None if sfactor is None else jnp.asarray(sfactor, jnp.float32))
+            None if sfactor is None else jnp.asarray(sfactor, jnp.float32),
+            quant_scales=self._quant_key())
         return out
 
     def render_batch(self, geoms, opts_list, blended_features=None,
@@ -353,7 +409,8 @@ class GanPaintEngine(PaintEngine):
             None if positions is None else to_dev(positions),
             None,
             to_dev(override), to_dev(mask),
-            blended_features, None)
+            blended_features, None,
+            quant_scales=self._quant_key())
         if n_pad:
             out = {k: v[:b] for k, v in out.items()}
         return out

@@ -141,11 +141,12 @@ def render_stroke_step(gen_cfg, enc_cfg, enc_res, render_mode: str,
 
 @partial(jax.jit, static_argnames=(
     "gen_cfg", "enc_cfg", "enc_res", "render_mode", "blend_res",
-    "blend_margin", "crop_margin"), donate_argnums=(8,))
+    "blend_margin", "crop_margin", "quant_scales"), donate_argnums=(8,))
 def render_stroke_packed(gen_cfg, enc_cfg, enc_res, render_mode: str,
                          blend_res: int, blend_margin: int, crop_margin: int,
                          bundle_params, canvas: CanvasState,
-                         packed, z, ws, color_override, color_mask):
+                         packed, z, ws, color_override, color_mask,
+                         quant_scales=None):
     """:func:`render_stroke_step` behind a single-upload request layout.
 
     ``packed`` is one float32 vector ``[pw*pw + 2]``: the geometry patch
@@ -159,10 +160,14 @@ def render_stroke_packed(gen_cfg, enc_cfg, enc_res, render_mode: str,
     pw = int(round((packed.shape[0] - 2) ** 0.5))
     geom_patch = packed[:pw * pw].reshape(1, pw, pw, 1)
     position = packed[pw * pw:].astype(jnp.int32)
-    rgba, new_canvas = render_stroke_step.__wrapped__(
-        gen_cfg, enc_cfg, enc_res, render_mode, blend_res, blend_margin,
-        crop_margin, bundle_params, canvas, geom_patch, position, z, ws,
-        color_override, color_mask)
+    # quant_scales is STATIC: int8-vs-bf16 must be part of the jit cache
+    # key (see engine/render.py:render_core).
+    from brushstroke_engine_tpu.ops import quant
+    with quant.static_ctx(quant_scales):
+        rgba, new_canvas = render_stroke_step.__wrapped__(
+            gen_cfg, enc_cfg, enc_res, render_mode, blend_res, blend_margin,
+            crop_margin, bundle_params, canvas, geom_patch, position, z, ws,
+            color_override, color_mask)
     # Unbatched uint8 out: the caller downloads this array as-is.  Indexing
     # or converting on the host would dispatch extra device programs and --
     # on remote/tunneled backends -- force materialization of the big
@@ -234,9 +239,10 @@ class DevicePaintSession:
             [geom, np.asarray([y, x], np.float32)]))
         z, ws, override, cmask = self._style_arrays(opts)
         rgba, self.canvas = render_stroke_packed(
-            eng.gen_cfg, eng.enc_cfg, tuple(eng.enc_res), eng.render_mode,
-            self.blend_res, self.blend_margin, self.crop_margin,
-            self._params, self.canvas, packed, z, ws, override, cmask)
+            eng.gen_cfg, eng.enc_cfg, tuple(eng.enc_res),
+            eng.render_mode, self.blend_res, self.blend_margin,
+            self.crop_margin, self._params, self.canvas, packed, z, ws,
+            override, cmask, quant_scales=eng._quant_key())
         return rgba, {"x": x + self.crop_margin, "y": y + self.crop_margin}
 
     def fetch(self, rgba) -> np.ndarray:

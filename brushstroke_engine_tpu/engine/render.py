@@ -47,15 +47,13 @@ def map_uvs_s(uvs, sfactor):
     return jnp.concatenate([uvfactor * u, uvfactor * v, sp], axis=-1)
 
 
-@partial(jax.jit, static_argnames=(
-    "gen_cfg", "enc_cfg", "enc_res", "render_mode", "return_features",
-    "color_format"))
-def render_core(gen_cfg: GeneratorConfig, enc_cfg: GeoEncoderConfig,
-                enc_res: Tuple[int, ...], render_mode: str,
-                return_features: Tuple[int, ...], color_format: str,
-                gen_params, gen_state, enc_params, enc_state,
-                geom, z, ws, positions, noise_buffers,
-                color_override, color_mask, blended_features, sfactor):
+def _render_core_impl(gen_cfg: GeneratorConfig, enc_cfg: GeoEncoderConfig,
+                      enc_res: Tuple[int, ...], render_mode: str,
+                      return_features: Tuple[int, ...], color_format: str,
+                      gen_params, gen_state, enc_params, enc_state,
+                      geom, z, ws, positions, noise_buffers,
+                      color_override, color_mask, blended_features,
+                      sfactor):
     """Render a batch of stroke patches.
 
     Args:
@@ -124,6 +122,33 @@ def render_core(gen_cfg: GeneratorConfig, enc_cfg: GeoEncoderConfig,
         if k in debug:
             out[k] = debug[k]
     return out
+
+
+@partial(jax.jit, static_argnames=(
+    "gen_cfg", "enc_cfg", "enc_res", "render_mode", "return_features",
+    "color_format", "quant_scales"))
+def render_core(gen_cfg: GeneratorConfig, enc_cfg: GeoEncoderConfig,
+                enc_res: Tuple[int, ...], render_mode: str,
+                return_features: Tuple[int, ...], color_format: str,
+                gen_params, gen_state, enc_params, enc_state,
+                geom, z, ws, positions, noise_buffers,
+                color_override, color_mask, blended_features, sfactor,
+                quant_scales: Tuple[float, ...] = None):
+    """:func:`_render_core_impl` under jit.
+
+    ``quant_scales``: optional per-call-site static int8 activation
+    scales (engine.enable_int8_serving).  STATIC on purpose — the scales
+    change the compiled program (int8 vs bf16 convs), so they must be
+    part of the jit cache key; a trace-time-only context would silently
+    reuse a bf16 executable compiled earlier for the same shapes.
+    """
+    from brushstroke_engine_tpu.ops import quant
+    with quant.static_ctx(quant_scales):
+        return _render_core_impl(
+            gen_cfg, enc_cfg, enc_res, render_mode, return_features,
+            color_format, gen_params, gen_state, enc_params, enc_state,
+            geom, z, ws, positions, noise_buffers, color_override,
+            color_mask, blended_features, sfactor)
 
 
 @partial(jax.jit, static_argnames=("gen_cfg", "enc_cfg", "enc_res", "k"))

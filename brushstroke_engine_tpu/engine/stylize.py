@@ -220,7 +220,7 @@ def _stylize_waves_impl(gen_cfg, enc_cfg, enc_res, render_mode, color_format,
                         blend_res, crop_margin, patch_width,
                         bundle_params, geom_canvas, ys, xs,
                         z, ws, noise_buffers, color_override, color_mask,
-                        sfactor, border):
+                        sfactor, border, quant_scales=None):
     """Whole-canvas stylization as one device program: a lax.scan over
     checkerboard-wave chunks.  See stylize_image_ondevice."""
     import jax
@@ -266,7 +266,8 @@ def _stylize_waves_impl(gen_cfg, enc_cfg, enc_res, render_mode, color_format,
             gen_cfg, enc_cfg, enc_res, render_mode, rf, color_format,
             gen_params, gen_state, enc_params, enc_state,
             geoms, z, ws, jnp.stack([cys, cxs], axis=1), noise_buffers,
-            color_override, color_mask, blended, sfactor)
+            color_override, color_mask, blended, sfactor,
+            quant_scales=quant_scales)
         if blending:
             ffeat, fmask = _scatter_feature_windows(
                 ffeat, fmask,
@@ -299,7 +300,8 @@ def _stylize_waves():
         from functools import partial
         _STYLIZE_WAVES = partial(jax.jit, static_argnames=(
             "gen_cfg", "enc_cfg", "enc_res", "render_mode", "color_format",
-            "blend_res", "crop_margin", "patch_width"))(_stylize_waves_impl)
+            "blend_res", "crop_margin", "patch_width",
+            "quant_scales"))(_stylize_waves_impl)
     return _STYLIZE_WAVES
 
 
@@ -413,13 +415,16 @@ def stylize_image_ondevice(engine, geom: np.ndarray, brush_options, *,
             rep = jax.device_put(bundle_tree, NamedSharding(mesh, P()))
             engine._mesh_replicated_weights = (mesh, rep)
         bundle_tree = engine._mesh_replicated_weights[1]
+    # Static-int8 serving (engine.enable_int8_serving): forwarded as a
+    # STATIC argument so int8-vs-bf16 programs cache separately.
+    qk = engine._quant_key() if hasattr(engine, "_quant_key") else None
     canvas = _stylize_waves()(
         engine.gen_cfg, engine.enc_cfg, tuple(engine.enc_res),
         engine.render_mode, engine.color_format, blend_res, crop_margin,
         patch_width,
         bundle_tree,
         geom_dev, ys, xs, z, ws, noise_buffers,
-        override, cmask, sfactor, border)
+        override, cmask, sfactor, border, quant_scales=qk)
     canvas = np.asarray(canvas)
     if on_white:
         canvas = composite_on_white(canvas)

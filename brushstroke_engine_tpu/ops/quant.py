@@ -13,17 +13,24 @@ on-device loop, scripts/microbench_int8.py):
 Strided convs LOSE (XLA's int8 path does not cover them well), so the
 gate covers only unstrided, undilated, ungrouped dense convs.
 
-**Measured in-situ verdict: NEGATIVE -- kept as a documented
-experiment, not a serving mode.**  Inside the full synthesis program
-(scripts/microbench_render_parts.py --int8, back-to-back same-ambient
-runs) the int8 path measures 32.8 ms vs 29.0 ms bf16 for the 256px
-B=128 stack: the dynamic quantization costs two extra passes over the
-activations per conv (the amax reduction and the round/clip int8
-write) and breaks XLA's conv+bias+act epilogue fusions, which together
-outweigh the 1.35-1.39x MXU win of the conv itself.  Recovering the
-win would need static calibrated scales with quantize-on-write folded
-into the previous layer's epilogue (removing both extra passes); until
-then no production CLI exposes this flag.
+**Round-3 dynamic verdict: NEGATIVE.**  Inside the full synthesis
+program (scripts/microbench_render_parts.py --int8, back-to-back
+same-ambient runs) the DYNAMIC int8 path measures 32.8 ms vs 29.0 ms
+bf16 for the 256px B=128 stack: the dynamic quantization costs two
+extra passes over the activations per conv (the amax reduction and the
+round/clip int8 write) and breaks XLA's conv+bias+act epilogue fusions.
+
+**Round-4 static-calibration verdict: POSITIVE -- productionized.**
+With per-call-site scales calibrated once (``calibration()`` /
+``eager_calibrate``) and baked into the trace as constants
+(``static_scales``), the amax pass disappears and the same stack
+measures **23.8 ms vs 30.7 ms bf16 (1.29x)**
+(scripts/microbench_render_parts.py --int8_static).  Serving exposes it
+as ``--int8 static`` on the server and stylize CLIs via
+``engine.enable_int8_serving()`` (multi-pass calibration + 1.25x
+headroom; PSNR>25 dB gates in tests/test_quant.py).  The scales ride
+the jit cache key as a STATIC argument -- int8 and bf16 programs cache
+separately (see engine/render.py:render_core).
 
 Scheme: symmetric dynamic quantization.  Activations get a per-sample
 scale (amax / 127 over each batch element -- the conv never mixes batch
@@ -76,7 +83,7 @@ def int8_inference(on: bool = True):
 
 def quantizable(x, strides, lhs_dilation, groups) -> bool:
     """True when the int8 MXU path is profitable for this conv."""
-    return (_ENABLED
+    return ((_ENABLED or _CALIBRATING or _STATIC_SCALES is not None)
             and groups == 1
             and tuple(strides) == (1, 1)
             and tuple(lhs_dilation) == (1, 1)
@@ -84,15 +91,97 @@ def quantizable(x, strides, lhs_dilation, groups) -> bool:
             and x.ndim == 4)
 
 
+# --- Static-calibration PTQ (the round-4 follow-up experiment) ----------
+#
+# The dynamic scheme's in-situ loss was attributed to the per-conv amax
+# reduction + the fusion break of the int8 round/clip write.  Static
+# calibration removes the amax pass: run the engine EAGERLY on
+# calibration inputs under ``calibration()`` (each quantizable call site
+# records its activation amax by call order), then run inference under
+# ``static_scales(scales)`` -- each call site's scale is baked into the
+# jitted program as a CONSTANT (call order at trace time is
+# deterministic), so the only remaining overhead is the round/clip
+# write.  Per-tensor (not per-sample) scales: calibration takes the max
+# over the calibration batch; quality measured in tests/test_quant.py.
+
+_CALIBRATING = False
+_CALIB_AMAX = []
+_STATIC_SCALES = None
+_TRACE_IDX = 0
+
+
+@contextlib.contextmanager
+def calibration():
+    """Eager calibration pass: records per-call-site activation amax."""
+    global _CALIBRATING, _CALIB_AMAX
+    _CALIBRATING, old = True, _CALIBRATING
+    _CALIB_AMAX = []
+    try:
+        yield _CALIB_AMAX
+    finally:
+        _CALIBRATING = old
+
+
+def calibrated_scales():
+    """amax list from the last calibration() pass -> per-site scales."""
+    return [max(a / 127.0, 1e-12) for a in _CALIB_AMAX]
+
+
+@contextlib.contextmanager
+def static_scales(scales):
+    """Run (and trace) with baked per-call-site constant activation
+    scales, in recorded call order."""
+    global _STATIC_SCALES, _TRACE_IDX
+    _STATIC_SCALES, old = list(scales), _STATIC_SCALES
+    _TRACE_IDX = 0
+    try:
+        yield
+    finally:
+        _STATIC_SCALES = old
+
+
+def eager_calibrate(fn, *args, **kwargs):
+    """Run ``fn`` once EAGERLY (jits disabled) under calibration and
+    return the per-call-site scales its quantizable convs recorded."""
+    with jax.disable_jit(), calibration():
+        out = fn(*args, **kwargs)
+        jax.block_until_ready(out)
+    return calibrated_scales()
+
+
+def static_ctx(scales):
+    """``static_scales(scales)`` when scales are present, else a no-op —
+    the per-call wrapper render paths use around their jit invocations
+    (only traces consume scales; cached executions pass through)."""
+    if scales:
+        return static_scales(scales)
+    return contextlib.nullcontext()
+
+
 def quantized_conv(x, w, padding):
-    """int8 x int8 -> int32 dense NHWC conv with dynamic symmetric scales.
+    """int8 x int8 -> int32 dense NHWC conv with symmetric scales.
 
     x: [B,H,W,I] float; w: [kh,kw,I,O] float; returns x.dtype output.
+    Activation scale: per-sample dynamic amax by default; a baked
+    per-tensor constant under ``static_scales`` (no amax pass); recorded
+    (then dynamic) under ``calibration``.
     """
+    global _TRACE_IDX
     xf = x.astype(jnp.float32)
     wf = w.astype(jnp.float32)
-    s_x = jnp.max(jnp.abs(xf), axis=(1, 2, 3), keepdims=True) / 127.0
-    s_x = jnp.maximum(s_x, 1e-12)                       # [B,1,1,1]
+    if _CALIBRATING:
+        # Eager pass: record the concrete activation amax for this site.
+        _CALIB_AMAX.append(float(jnp.max(jnp.abs(xf))))
+    if _STATIC_SCALES is not None and not _CALIBRATING:
+        if _TRACE_IDX >= len(_STATIC_SCALES):
+            raise RuntimeError(
+                f"static int8 scales exhausted at call site {_TRACE_IDX}; "
+                "re-run calibration() on this program shape")
+        s_x = jnp.float32(_STATIC_SCALES[_TRACE_IDX])   # baked constant
+        _TRACE_IDX += 1
+    else:
+        s_x = jnp.max(jnp.abs(xf), axis=(1, 2, 3), keepdims=True) / 127.0
+        s_x = jnp.maximum(s_x, 1e-12)                   # [B,1,1,1]
     s_w = jnp.max(jnp.abs(wf), axis=(0, 1, 2), keepdims=True) / 127.0
     s_w = jnp.maximum(s_w, 1e-12)                       # [1,1,1,O]
     xq = jnp.clip(jnp.round(xf / s_x), -127, 127).astype(jnp.int8)

@@ -94,18 +94,22 @@ class TrainConfig:
     kimg_per_tick: int = 4
 
     def __post_init__(self):
-        # Known XLA:TPU compile pathology (docs/ARCHITECTURE.md, repro in
-        # scripts/repro_b128_compile_pathology.py): the generator FORWARD
-        # at EXACTLY batch 128 and 128px compiles to an ~11x slower
-        # program (96 ms vs 15 ms at B=64, 26 ms at B=160).  B=96/112/160
-        # and 256px/B=128 are all fine.  Warn so nobody hits it cold.
+        # Round-3 observed an ~11x-slower generator forward at EXACTLY
+        # batch 128 / 128px; the round-4 repro
+        # (scripts/repro_b128_compile_pathology.py) shows the pathology
+        # ABSENT under the current toolchain once warm-up artifacts are
+        # excluded (B=128 12.5 ms vs B=64 7.0 ms — proportional), and
+        # identifies the likely original culprit: the FIRST timed pass
+        # after a fresh-process compile can run ~10x slow.  Keep an
+        # info-level pointer so anyone who sees the shape run slow knows
+        # the one-command re-check.
         if self.batch_size == 128 and \
                 getattr(self.gen_cfg, "img_resolution", None) == 128:
             import logging
-            logging.getLogger(__name__).warning(
-                "batch_size=128 at 128px hits a known XLA:TPU compile "
-                "pathology (~11x slower generator forward). Prefer batch "
-                "96, 112, or 160; see docs/ARCHITECTURE.md and "
+            logging.getLogger(__name__).info(
+                "batch 128 @ 128px: a compile pathology was once observed "
+                "for this exact shape (not reproducible as of round 4); "
+                "if training seems slow, re-check with "
                 "scripts/repro_b128_compile_pathology.py.")
 
     def losses(self, which: str) -> ForgerLosses:

@@ -648,6 +648,13 @@ def run_main(argv=None):
                          "layers); 'strict' forces full-f32 6-pass convs "
                          "for golden-parity debugging -- several times "
                          "slower and never needed to serve.")
+    ap.add_argument("--int8", choices=["off", "static"], default="off",
+                    help="'static' enables static-calibration int8 PTQ "
+                         "for the render stack: one calibration pass at "
+                         "startup, then synthesis convs run on the "
+                         "double-rate int8 MXU with baked scales "
+                         "(~1.29x measured on the 256px synthesis block; "
+                         "PSNR>25 dB vs bf16, tests/test_quant.py).")
     ap.add_argument("--log_level", type=int, default=logging.INFO)
     args = ap.parse_args(argv)
     logging.basicConfig(level=args.log_level)
@@ -679,6 +686,10 @@ def run_main(argv=None):
         server.paint_engine.set_serving_mesh(
             Mesh(np.asarray(devices), ("data",)))
         logger.info(f"Sharding batched renders over {len(devices)} devices")
+    if args.int8 == "static" and hasattr(server.paint_engine,
+                                         "enable_int8_serving"):
+        n = len(server.paint_engine.enable_int8_serving())
+        logger.info(f"Static-int8 serving: calibrated {n} conv sites")
     if not args.no_warmup:
         # Bucket 1 matters: a single painter with batching on renders
         # through render_batch (a different program than the per-request

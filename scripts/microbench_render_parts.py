@@ -28,6 +28,13 @@ def main():
                     help="Route stride-1 synthesis convs through the int8 "
                          "MXU path (ops/quant.py) -- the A/B harness for "
                          "its measured-negative in-situ verdict.")
+    ap.add_argument("--int8_static", action="store_true",
+                    help="Static-calibration PTQ variant: one eager "
+                         "calibration pass records per-call-site "
+                         "activation amax, then the timed program bakes "
+                         "those scales as constants (no per-conv amax "
+                         "reduction). Benchmarks the synthesis blocks "
+                         "only.")
     args = ap.parse_args()
 
     import jax
@@ -106,6 +113,24 @@ def main():
               ("mapping", mapping), ("synthesis (z->img)", synth_only),
               ("full render+composite", full)]
 
+    static_int8_scales = None
+    if args.int8_static:
+        from brushstroke_engine_tpu.ops import quant
+        # Eager calibration: ONE pass through the synthesis program
+        # records each quantizable call site's activation amax in call
+        # order (identical to trace order of the same python code).
+        with quant.calibration():
+            img, _, _ = generator_apply(
+                gen_cfg, gp, gs, z=z, geom_features=list(feats0),
+                positions=positions, noise_mode="const")
+            jax.block_until_ready(img)
+        static_int8_scales = quant.calibrated_scales()
+        print(f"# calibrated {len(static_int8_scales)} int8 call sites")
+        # Only the synthesis blocks share the calibrated site sequence.
+        blocks = [("loop floor", loopfloor),
+                  ("synthesis (z->img)", synth_only),
+                  ("full render+composite", full)]
+
     results = []
     floor_ms = 0.0
     for name, fn in blocks:
@@ -115,7 +140,12 @@ def main():
             return jax.lax.fori_loop(0, args.iters, body, jnp.float32(0))
 
         jr = jax.jit(run)
-        float(jr(env))  # compile+warm
+        if static_int8_scales is not None and "loop floor" not in name:
+            from brushstroke_engine_tpu.ops import quant
+            with quant.static_scales(static_int8_scales):
+                float(jr(env))  # trace+compile with baked scales
+        else:
+            float(jr(env))  # compile+warm
         best = 1e30
         for _ in range(3):
             t0 = time.perf_counter()

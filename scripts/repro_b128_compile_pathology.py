@@ -65,13 +65,21 @@ def main():
         t0 = time.perf_counter()
         fwd(z, feats, key, bs).block_until_ready()
         compile_s = time.perf_counter() - t0
-        # Timed: chain iters forwards, block once.
-        t0 = time.perf_counter()
-        out = None
-        for i in range(args.iters):
-            out = fwd(z, feats, jax.random.fold_in(key, i), bs)
-        out.block_until_ready()
-        ms = (time.perf_counter() - t0) / args.iters * 1e3
+        # Warm thoroughly: the FIRST timed pass after a fresh-process
+        # compile can run ~10x slow (one-time device work) — round 3's
+        # "B=128 pathology" measurement is suspected to be exactly this
+        # artifact.  Best-of-3 timed passes, chained on-device.
+        for i in range(3):
+            fwd(z, feats, jax.random.fold_in(key, 100 + i),
+                bs).block_until_ready()
+        ms = 1e30
+        for _rep in range(3):
+            t0 = time.perf_counter()
+            out = None
+            for i in range(args.iters):
+                out = fwd(z, feats, jax.random.fold_in(key, i), bs)
+            out.block_until_ready()
+            ms = min(ms, (time.perf_counter() - t0) / args.iters * 1e3)
         results[bs] = {"fwd_ms": round(ms, 2),
                        "imgs_per_s": round(bs / ms * 1e3, 1),
                        "compile_s": round(compile_s, 1)}

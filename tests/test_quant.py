@@ -123,3 +123,93 @@ def test_flag_leaves_resampled_path_untouched(up):
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
     else:
         assert float(jnp.max(jnp.abs(got - want))) > 0
+
+
+def test_static_calibration_matches_dynamic_quality():
+    """Static-PTQ: calibrate eagerly, then the baked-constant-scale render
+    stays close to BOTH the dynamic-int8 and the float render."""
+    from tests.helpers import small_bundle
+    from brushstroke_engine_tpu.models.generator import generator_apply
+    from brushstroke_engine_tpu.models.geo_encoder import geo_encoder_encode
+
+    b = small_bundle()
+    rng = np.random.RandomState(4)
+    geom = jnp.asarray((rng.rand(2, 32, 32, 1) > 0.5), jnp.float32)
+    z = jnp.asarray(rng.randn(2, b.gen_cfg.z_dim), jnp.float32)
+    feats = geo_encoder_encode(b.enc_cfg, b.enc_params, b.enc_state, geom,
+                               res=list(b.geom_inject_resolutions))
+
+    def render():
+        img, _, _ = generator_apply(
+            b.gen_cfg, b.gen_params, b.gen_state, z=z, geom_features=feats,
+            noise_mode="const")
+        return np.asarray(img, np.float32)
+
+    with precision_mode("fast"):
+        img_f = render()
+        with quant.calibration() as amax:
+            render()
+        assert len(amax) > 0
+        scales = quant.calibrated_scales()
+        assert len(scales) == len(amax) and min(scales) > 0
+        with quant.static_scales(scales):
+            img_s = jax.jit(
+                lambda: generator_apply(
+                    b.gen_cfg, b.gen_params, b.gen_state, z=z,
+                    geom_features=feats, noise_mode="const")[0])()
+        img_s = np.asarray(img_s, np.float32)
+
+    assert np.all(np.isfinite(img_s))
+    mse = float(np.mean((img_f - img_s) ** 2))
+    psnr = 10 * np.log10(4.0 / max(mse, 1e-12))
+    assert psnr > 25.0, psnr
+
+
+def test_static_scales_exhaustion_raises():
+    """A program with more quantizable sites than calibrated scales must
+    fail loudly (shape/program mismatch), not silently misquantize."""
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 8, 8, 4), jnp.float32)
+    w = jnp.asarray(np.random.RandomState(1).randn(3, 3, 4, 4) * 0.1,
+                    jnp.float32)
+    pad = [(1, 1), (1, 1)]
+    with quant.static_scales([0.01]):
+        quant.quantized_conv(x, w, pad)          # consumes the only scale
+        with pytest.raises(RuntimeError, match="exhausted"):
+            quant.quantized_conv(x, w, pad)
+
+
+def test_engine_int8_serving_mode():
+    """enable_int8_serving: calibrates, bakes scales into the engine's
+    render traces, output stays within painting-quality distance of the
+    bf16 render."""
+    from tests.helpers import make_engine
+    from brushstroke_engine_tpu.engine.brush import GanBrushOptions
+
+    eng = make_engine()
+    w = eng.patch_width
+    patch = np.zeros((w, w, 4), np.uint8)
+    patch[w // 4:-w // 4, w // 4:-w // 4, 3] = 255
+    opts = GanBrushOptions()
+    opts.set_style(eng.random_style(7), 7)
+
+    with precision_mode("fast"):
+        img_f, _ = eng.render_stroke(patch, None, opts)
+        scales = eng.enable_int8_serving()
+        assert len(scales) > 0 and min(scales) > 0
+        img_q, _ = eng.render_stroke(patch, None, opts)
+
+    a = img_f.astype(np.float32) / 255.0
+    q = img_q.astype(np.float32) / 255.0
+    # The int8 program must actually be a DIFFERENT executable than the
+    # already-compiled bf16 one (quant_scales is a static jit arg; a
+    # trace-time-only context would silently reuse the bf16 program
+    # here).  Quantization noise guarantees a nonzero difference.
+    assert np.any(img_q != img_f), "int8 render identical to bf16 -- " \
+        "the quantized program was never compiled (jit cache reuse bug)"
+    mse = float(np.mean((a - q) ** 2))
+    psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
+    assert psnr > 25.0, psnr
+    # Disable restores the exact bf16 program (separate cache entry).
+    eng._int8_scales = None
+    img_back, _ = eng.render_stroke(patch, None, opts)
+    np.testing.assert_array_equal(img_back, img_f)
