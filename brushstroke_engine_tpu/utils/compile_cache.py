@@ -17,6 +17,7 @@ Opt out with ``BSE_XLA_CACHE_DIR=""`` (empty) or point the cache elsewhere
 with ``BSE_XLA_CACHE_DIR=/path``.
 """
 
+import hashlib
 import logging
 import os
 
@@ -24,6 +25,30 @@ logger = logging.getLogger(__name__)
 
 _DEFAULT_DIR = os.path.join(
     os.path.expanduser("~"), ".cache", "brushstroke_engine_tpu", "xla")
+
+
+def _host_fingerprint() -> str:
+    """Short hash of this host's CPU feature flags.
+
+    XLA:CPU caches AOT-compiled machine code; loading an entry compiled
+    on a host with different CPU features logs "could lead to SIGILL"
+    errors (cpu_aot_loader.cc) and risks exactly that.  TPU executables
+    are host-independent, but the cache dir is global per process and
+    every TPU process also compiles small host-side XLA:CPU programs —
+    so the whole dir is salted per host-CPU-identity.  Cost: one cold
+    recompile when the driver lands on a new machine type; benefit: no
+    cross-machine AOT loads ever.
+    """
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    return hashlib.sha1(flags.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    import platform
+    return hashlib.sha1(platform.processor().encode()).hexdigest()[:10]
 
 
 def enable_persistent_cache(cache_dir=None):
@@ -36,6 +61,7 @@ def enable_persistent_cache(cache_dir=None):
     if env is not None and env == "":
         return None
     cache_dir = cache_dir or env or _DEFAULT_DIR
+    cache_dir = os.path.join(cache_dir, _host_fingerprint())
     os.makedirs(cache_dir, exist_ok=True)
     import jax
 
