@@ -140,13 +140,32 @@ def main():
             return img
 
         scales = quant.eager_calibrate(one_pass)
-        with quant.static_scales([1.25 * s for s in scales]):
-            render_many_q = jax.jit(render_many.__wrapped__)
-            float(render_many_q(gp, gs, ep, es, z0, geom, positions))
+        qscales = tuple(float(1.25 * s) for s in scales)
+
+        # The scales MUST ride the jit cache key as a static argument
+        # (mirroring engine/render.py:render_core).  Re-jitting
+        # render_many.__wrapped__ under a static_scales() context does
+        # NOT work: JAX's trace cache is keyed on the underlying
+        # function object, so the second jit silently reuses the bf16
+        # executable compiled above and the "int8" timing measures bf16
+        # again (this exact bug shipped in BENCH_r03's
+        # patches_per_sec_int8_static, which matched bf16 to 0.06%).
+        def _render_many_int8(gp, gs, ep, es, z0, geom, positions, qscales):
+            with quant.static_ctx(list(qscales)):
+                return render_many.__wrapped__(
+                    gp, gs, ep, es, z0, geom, positions)
+
+        render_many_q = jax.jit(_render_many_int8, static_argnames="qscales")
+        float(render_many_q(gp, gs, ep, es, z0, geom, positions,
+                            qscales=qscales))
+        if quant._TRACE_IDX == 0:
+            raise RuntimeError(
+                "int8 trace engaged no quantized conv; gate regressed")
         best_q = 0.0
         for _ in range(3):
             t0 = time.perf_counter()
-            float(render_many_q(gp, gs, ep, es, z0, geom, positions))
+            float(render_many_q(gp, gs, ep, es, z0, geom, positions,
+                                qscales=qscales))
             best_q = max(best_q,
                          BATCH * LOOP_ITERS / (time.perf_counter() - t0))
         int8_extra = {"patches_per_sec_int8_static": round(best_q, 2)}

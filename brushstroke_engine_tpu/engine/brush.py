@@ -228,13 +228,34 @@ class GanPaintEngine(PaintEngine):
         # Per-site max over several (geometry, style) pairs, plus
         # headroom: static per-tensor scales must cover activations the
         # calibration didn't see, or out-of-range values clip.
+        #
+        # Calibration runs EAGERLY (eager_calibrate disables jit), and
+        # eager dispatch follows operand placement — against a remote /
+        # tunneled accelerator every one of the ~1e3 ops in a render pays
+        # the link round trip, turning one calibration pass into minutes
+        # (measured: paint_image --int8 static never finished inside 10
+        # min over the dev tunnel).  The scales are per-site amax floats,
+        # so run the passes on the host CPU backend against temporary CPU
+        # copies of the weight trees (numerically equivalent for amax),
+        # then restore the device-resident trees for serving.
+        import jax
+        cpu = jax.devices("cpu")[0]
+        saved = (self.gen_params, self.gen_state,
+                 self.enc_params, self.enc_state)
         per_pass = []
-        for k in range(max(calib_batch, 1)):
-            geom = stroke_geom(k % 3)
-            opts = GanBrushOptions()
-            opts.set_style(rng.randn(1, self.gen_cfg.z_dim))
-            per_pass.append(quant.eager_calibrate(
-                self._run_core, jnp.asarray(geom), opts))
+        try:
+            (self.gen_params, self.gen_state, self.enc_params,
+             self.enc_state) = jax.device_put(saved, cpu)
+            with jax.default_device(cpu):
+                for k in range(max(calib_batch, 1)):
+                    geom = stroke_geom(k % 3)
+                    opts = GanBrushOptions()
+                    opts.set_style(rng.randn(1, self.gen_cfg.z_dim))
+                    per_pass.append(quant.eager_calibrate(
+                        self._run_core, jnp.asarray(geom), opts))
+        finally:
+            (self.gen_params, self.gen_state, self.enc_params,
+             self.enc_state) = saved
         headroom = 1.25
         self._int8_scales = [headroom * max(s[i] for s in per_pass)
                              for i in range(len(per_pass[0]))]

@@ -25,7 +25,9 @@ With per-call-site scales calibrated once (``calibration()`` /
 ``eager_calibrate``) and baked into the trace as constants
 (``static_scales``), the amax pass disappears and the same stack
 measures **23.8 ms vs 30.7 ms bf16 (1.29x)**
-(scripts/microbench_render_parts.py --int8_static).  Serving exposes it
+(scripts/microbench_render_parts.py --int8_static); the full serving
+pipeline (encode + synthesis + composite, bench.py) measures
+**3,525 vs 2,955 patches/s (1.19x)**.  Serving exposes it
 as ``--int8 static`` on the server and stylize CLIs via
 ``engine.enable_int8_serving()`` (multi-pass calibration + 1.25x
 headroom; PSNR>25 dB gates in tests/test_quant.py).  The scales ride
