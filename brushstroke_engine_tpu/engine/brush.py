@@ -236,26 +236,27 @@ class GanPaintEngine(PaintEngine):
         # (measured: paint_image --int8 static never finished inside 10
         # min over the dev tunnel).  The scales are per-site amax floats,
         # so run the passes on the host CPU backend against temporary CPU
-        # copies of the weight trees (numerically equivalent for amax),
-        # then restore the device-resident trees for serving.
+        # copies of the weight trees (f32 on CPU vs bf16-grade 'fast'
+        # serving passes: equivalent within bf16 rounding, covered by the
+        # 1.25x headroom below — do not shrink the headroom on the
+        # assumption of exact amax equality).  The CPU trees are passed
+        # into the render core explicitly (params override) so engine
+        # state is never rebound: a render dispatched concurrently from a
+        # server executor thread keeps using the device-resident trees.
         import jax
         cpu = jax.devices("cpu")[0]
-        saved = (self.gen_params, self.gen_state,
-                 self.enc_params, self.enc_state)
+        cpu_trees = jax.device_put(
+            (self.gen_params, self.gen_state,
+             self.enc_params, self.enc_state), cpu)
         per_pass = []
-        try:
-            (self.gen_params, self.gen_state, self.enc_params,
-             self.enc_state) = jax.device_put(saved, cpu)
-            with jax.default_device(cpu):
-                for k in range(max(calib_batch, 1)):
-                    geom = stroke_geom(k % 3)
-                    opts = GanBrushOptions()
-                    opts.set_style(rng.randn(1, self.gen_cfg.z_dim))
-                    per_pass.append(quant.eager_calibrate(
-                        self._run_core, jnp.asarray(geom), opts))
-        finally:
-            (self.gen_params, self.gen_state, self.enc_params,
-             self.enc_state) = saved
+        with jax.default_device(cpu):
+            for k in range(max(calib_batch, 1)):
+                geom = stroke_geom(k % 3)
+                opts = GanBrushOptions()
+                opts.set_style(rng.randn(1, self.gen_cfg.z_dim))
+                per_pass.append(quant.eager_calibrate(
+                    self._run_core, jnp.asarray(geom), opts,
+                    params_override=cpu_trees))
         headroom = 1.25
         self._int8_scales = [headroom * max(s[i] for s in per_pass)
                              for i in range(len(per_pass[0]))]
@@ -300,7 +301,8 @@ class GanPaintEngine(PaintEngine):
         return (1.0 - alpha)[None]
 
     def _run_core(self, geom, opts: GanBrushOptions,
-                  blended_features=None, return_features=()):
+                  blended_features=None, return_features=(),
+                  params_override=None):
         b = geom.shape[0]
         opts.prepare_style(b)
         override, mask = opts.color_override(b)
@@ -312,11 +314,13 @@ class GanPaintEngine(PaintEngine):
         if noise_buffers is not None:
             noise_buffers = {k: jnp.asarray(np.asarray(v).reshape(
                 np.asarray(v).shape[-2:])) for k, v in noise_buffers.items()}
+        gp, gs, ep, es = params_override if params_override is not None \
+            else (self.gen_params, self.gen_state,
+                  self.enc_params, self.enc_state)
         out = render_core(
             self.gen_cfg, self.enc_cfg, self.enc_res, self.render_mode,
             tuple(return_features), self.color_format,
-            self.gen_params, self.gen_state, self.enc_params,
-            self.enc_state,
+            gp, gs, ep, es,
             jnp.asarray(geom),
             None if opts.style_z is None else jnp.asarray(opts.style_z,
                                                           jnp.float32),

@@ -142,6 +142,13 @@ def static_scales(scales):
         _STATIC_SCALES = old
 
 
+def sites_consumed():
+    """How many quantized call sites the last static_scales() trace
+    consumed.  Public accessor for gate-regression checks (bench.py):
+    0 after a trace means the int8 gate never engaged."""
+    return _TRACE_IDX
+
+
 def eager_calibrate(fn, *args, **kwargs):
     """Run ``fn`` once EAGERLY (jits disabled) under calibration and
     return the per-call-site scales its quantizable convs recorded."""
