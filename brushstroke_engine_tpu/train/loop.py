@@ -50,7 +50,8 @@ class TrainingLoop:
                  use_fused: bool = False, mesh=None,
                  profile_dir: Optional[str] = None,
                  profile_batches=(10, 13), device_banks=None,
-                 steps_per_dispatch: int = 1):
+                 steps_per_dispatch: int = 1,
+                 snapshot_ticks: int = 1):
         if debug_nans:
             # Analog of the reference's grad-anomaly debugging hooks
             # (SURVEY.md section 5.2); catches non-finite values at source.
@@ -141,6 +142,14 @@ class TrainingLoop:
                 crop_margin=self.stitcher.crop_margin,
                 min_overlap=self.stitcher.min_overlap)
 
+        # Network-snapshot + train-state persistence cadence, in ticks
+        # (reference network_snapshot_ticks, training_loop_modified.py; the
+        # final tick always persists).  Persistence is the dominant tick
+        # cost on a high-latency host<->device link: it fetches the whole
+        # state tree, so writing it every tick serializes the dispatch
+        # queue against ~100 ms-RTT transfers (measured 650 -> 127 imgs/s
+        # at snapshot_ticks=1 through the dev tunnel).
+        self.snapshot_ticks = max(int(snapshot_ticks), 1)
         self.cur_nimg = 0
         self.batch_idx = 0
         self.cur_tick = 0
@@ -156,6 +165,7 @@ class TrainingLoop:
                 logger.info(
                     "TensorBoard unavailable; writing stats.jsonl only")
         self._last_stats: Dict[str, float] = {}
+        self._last_snapshot_sec: Optional[float] = None
         # Eval-hook failure counters, surfaced into tick stats as
         # Eval/<name>_failures so a silently-broken metric/viz path shows up
         # in stats.jsonl instead of only as a log warning.
@@ -478,6 +488,11 @@ class TrainingLoop:
             stats["Timing/sec_per_tick"] = tick_time
             stats["Timing/sec_per_kimg"] = tick_time / max(
                 (self.cur_nimg - tick_start_nimg) / 1000.0, 1e-8)
+            if self._last_snapshot_sec is not None:
+                # Cost of the PREVIOUS tick's persistence (it happens after
+                # the stats write, so it is reported one tick late).
+                stats["Timing/snapshot_sec"] = self._last_snapshot_sec
+                self._last_snapshot_sec = None
             for name, cnt in self.hook_failure_counts.items():
                 stats[f"Eval/{name}_failures"] = cnt
             if self.rank == 0:
@@ -500,9 +515,14 @@ class TrainingLoop:
 
             # Chief-only persistence (state is replicated, every rank holds
             # identical values; reference rank-0 gating, loop :552-566).
-            if self.rank == 0:
+            # Gated on snapshot_ticks: the full-state fetch + pickle is the
+            # single most expensive tick item over a high-latency link.
+            if self.rank == 0 and (done or
+                                   self.cur_tick % self.snapshot_ticks == 0):
+                t_snap = time.time()
                 snap_path = self.save_snapshot()
                 self.save_train_state()
+                self._last_snapshot_sec = time.time() - t_snap
                 if self.hooks.on_snapshot is not None:
                     self.hooks.on_snapshot(self, snap_path)
 
@@ -537,13 +557,18 @@ class TrainingLoop:
         # restores params only and replays fresh randomness).
         rng_state = {"host_key": np.asarray(self.host_key),
                      "np_rng": self.rng.bit_generator.state}
+        # ONE batched device->host fetch: jax.device_get starts every
+        # leaf's copy_to_host_async before blocking, so the transfer costs
+        # ~one link round trip; tree_map(np.asarray, ...) fetches leaf by
+        # leaf (hundreds of serial ~100 ms RTTs through the dev tunnel).
+        host_state = jax.device_get(self.state)
         if backend == "orbax":
             import orbax.checkpoint as ocp
             path = path or os.path.join(self.run_dir, "train_state_orbax")
             with ocp.StandardCheckpointer() as ckptr:
                 ckptr.save(
                     os.path.abspath(path),
-                    {"state": jax.tree_util.tree_map(np.asarray, self.state),
+                    {"state": host_state,
                      "counters": {k: np.int64(v)
                                   for k, v in counters.items()},
                      "host_key": rng_state["host_key"]},
@@ -558,7 +583,7 @@ class TrainingLoop:
         path = path or os.path.join(self.run_dir, "train_state.pkl")
         payload = {
             "magic": "brushstroke_engine_tpu.train_state.v1",
-            "state": jax.tree_util.tree_map(np.asarray, self.state),
+            "state": host_state,
             "rng_state": rng_state,
             **counters,
         }
@@ -618,14 +643,19 @@ class TrainingLoop:
         path = os.path.join(
             self.run_dir,
             f"network-snapshot-{self.cur_nimg // 1000:06d}.pkl")
+        # Batched fetch (see save_train_state): one pipelined transfer of
+        # the EMA + encoder trees instead of per-leaf round trips inside
+        # save_native's np.asarray calls.
+        g_ema, w_avg, noise, enc_p, enc_s = jax.device_get(
+            (self.state["g_ema"], self.state["w_avg"], self.state["noise"],
+             self.enc_params, self.enc_state))
         bundle = EngineBundle(
             gen_cfg=self.cfg.gen_cfg,
-            gen_params=self.state["g_ema"],
-            gen_state={"w_avg": self.state["w_avg"],
-                       "noise": self.state["noise"]},
+            gen_params=g_ema,
+            gen_state={"w_avg": w_avg, "noise": noise},
             enc_cfg=self.cfg.enc_cfg,
-            enc_params=self.enc_params,
-            enc_state=self.enc_state,
+            enc_params=enc_p,
+            enc_state=enc_s,
             color_format=self.cfg.gen_cfg.synthesis.color_format,
             geom_inject_resolutions=self.cfg.enc_res,
             extra={"cur_nimg": self.cur_nimg},

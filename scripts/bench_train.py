@@ -44,6 +44,11 @@ def main():
                     help="device_banks mode: batches per dispatch "
                          "(lax.scan chunk; all per-step randomness "
                          "on-device).")
+    ap.add_argument("--snapshot_ticks", type=int, default=100,
+                    help="production_loop: persistence cadence in ticks "
+                         "(matches the train CLI --snap default). 1 "
+                         "reproduces the round-4 per-tick persistence "
+                         "pathology (127-219 imgs/s through the tunnel).")
     ap.add_argument("--num_bf16_res", type=int, default=4,
                     help="Run G/D in bf16 at the N highest resolutions "
                          "(4 = the reference 'auto' fp16 spec; 99 = whole "
@@ -224,7 +229,8 @@ def _run_production_loop(args, cfg, b):
                             style_iter, geom_iter,
                             run_dir=run_dir, seed=0, use_fused=True,
                             device_banks=banks,
-                            steps_per_dispatch=args.steps_per_dispatch)
+                            steps_per_dispatch=args.steps_per_dispatch,
+                            snapshot_ticks=args.snapshot_ticks)
         loop.run(total_kimg=2 * n / 1000.0)       # warmup: compile + cache
         nimg0 = loop.cur_nimg  # chunked dispatch may overshoot the warmup
         t0 = _time.perf_counter()

@@ -74,7 +74,11 @@ def build_parser():
                     help="R1 weight; default 0.0002*res^2/batch.")
     ap.add_argument("--kimg", type=int, default=10000)
     ap.add_argument("--snap", type=int, default=100,
-                    help="Snapshot/eval interval in ticks of 4 kimg.")
+                    help="Network-snapshot + metric-suite interval in "
+                         "ticks (reference network_snapshot_ticks).")
+    ap.add_argument("--image_snap", type=int, default=10,
+                    help="Visualizer-sheet interval in ticks (reference "
+                         "image_snapshot_ticks).")
     ap.add_argument("--aug", default="ada", choices=["ada", "noaug"])
     ap.add_argument("--augpipe", default="bgc")
     ap.add_argument("--style_mixing_prob", type=float, default=0.9)
@@ -342,7 +346,8 @@ def main(argv=None):
                 for i in range(0, n, 16)]
         metric_geom_iter = BatchIterator(geom_ds, 4, seed=args.seed + 2)
         hooks = make_eval_hooks(
-            image_snapshot_ticks=1, metric_snapshot_ticks=args.snap,
+            image_snapshot_ticks=args.image_snap,
+            metric_snapshot_ticks=args.snap,
             fid_real_batches=fid_real, geom_iterator=metric_geom_iter,
             metrics=metric_names)
 
@@ -361,7 +366,8 @@ def main(argv=None):
                         profile_dir=args.profile_dir, hooks=hooks,
                         device_banks=device_banks,
                         steps_per_dispatch=args.steps_per_dispatch,
-                        resume_state=resume_state)
+                        resume_state=resume_state,
+                        snapshot_ticks=args.snap)
     loop.run(exit_after_warmstart=args.exit_after_warmstart)
     print(f"Training finished; run dir: {run_dir}")
 
