@@ -255,7 +255,19 @@ def main():
         ws1 = measure_ws_slo(bundle, sessions=1, strokes=48, warmup=8)
         ws.update({("ws1" + k[2:]): v for k, v in ws1.items()
                    if k.startswith("ws_") and k != "ws_sessions"})
-        ws.update(measure_ws_slo(bundle, sessions=8, strokes=136, warmup=8))
+        # Headline contended config: cross-session DEVICE-CANVAS batching
+        # (ui/server.py:DeviceRenderBatcher) — all sessions' strokes in one
+        # pooled dispatch per flush window, so contended latency tracks the
+        # single-session floor instead of growing linearly with sessions.
+        ws.update(measure_ws_slo(bundle, sessions=8, strokes=136, warmup=8,
+                                 batch_window_ms=4.0))
+        ws["ws_batch_window_ms"] = 4.0
+        # A/B: the round-4 serialized path (one dispatch per session per
+        # stroke) under the same 8-session contention.
+        ws_serial = measure_ws_slo(bundle, sessions=8, strokes=72, warmup=8)
+        for k in ("ws_p50_ms", "ws_p99_ms", "ws_render_p50_ms"):
+            if k in ws_serial:
+                ws["ws_serial" + k[2:]] = ws_serial[k]
     except Exception as e:
         ws["ws_error"] = str(e)[:200]
 
@@ -273,11 +285,16 @@ def main():
     }))
 
 
-def measure_ws_slo(bundle, sessions=2, strokes=12, warmup=4):
+def measure_ws_slo(bundle, sessions=2, strokes=12, warmup=4,
+                   batch_window_ms=0.0):
     """End-to-end websocket SLO: run the REAL server app in-process on an
     ephemeral port, drive concurrent painter sessions over real
     websockets (device-canvas path), and report per-stroke round-trip
-    percentiles at the protocol boundary."""
+    percentiles at the protocol boundary.
+
+    ``batch_window_ms`` > 0 enables the cross-session device-canvas
+    batcher (the production multi-user config): concurrent sessions'
+    strokes coalesce into one pooled dispatch per flush window."""
     import asyncio
     import socket
 
@@ -288,17 +305,21 @@ def measure_ws_slo(bundle, sessions=2, strokes=12, warmup=4):
         bundle.gen_cfg, bundle.gen_params, bundle.gen_state,
         bundle.enc_cfg, bundle.enc_params, bundle.enc_state,
         geom_inject_resolutions=bundle.geom_inject_resolutions)
-    # No batch window: with clients and server sharing one event loop the
-    # 6 ms production window only adds latency (measured 117 vs 97 ms p50
-    # over the tunnel); the standalone scripts/bench_ws_slo.py probe runs
-    # the production config (separate server process, window on).
-    # Device-canvas strokes run in an executor thread behind the async
-    # handler, so concurrent sessions overlap their tunnel round trips:
-    # measured p50 1 session 48.7 ms (wire floor), 2 sessions 54.6 ms,
-    # 4 sessions 65.1 ms (was 95 ms at 2 sessions when the event loop
-    # serialized the blocking download).
+    # batch_window_ms=0: serialized device-canvas path (one dispatch per
+    # session per stroke, round-4 architecture) — the uncontended floor and
+    # the A/B denominator.  batch_window_ms>0: DeviceRenderBatcher pools
+    # all sessions' strokes into one dispatch per window (production
+    # multi-user config).  The host-path RenderBatcher note from round 3
+    # (window only added latency in-process) does not apply here: the
+    # device batcher amortizes the ~28 ms tunnel round trip itself, which
+    # is exactly what serialized contention pays per stroke.
     app = ui_server.create_server(None, None, paint_engine=engine,
-                                  use_device_canvas=True)
+                                  use_device_canvas=True,
+                                  batch_window_ms=batch_window_ms)
+    if app.dev_batcher is not None:
+        # Pre-compile the pooled render for this canvas config and the
+        # power-of-two batch buckets, so compiles never land mid-measurement.
+        app.dev_batcher.warmup(1024, 1024, level=2, buckets=(1, 2, 4, 8))
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]

@@ -176,6 +176,250 @@ def render_stroke_packed(gen_cfg, enc_cfg, enc_res, render_mode: str,
     return rgba_u8, new_canvas
 
 
+class PoolState(NamedTuple):
+    """S stacked session canvases: [S, H/d, W/d, C] features + [S, H/d, W/d]
+    mask.  Slot S-1 is a scratch canvas that absorbs batch-padding writes."""
+    features: jnp.ndarray
+    mask: jnp.ndarray
+
+
+@partial(jax.jit, static_argnames=(
+    "gen_cfg", "enc_cfg", "enc_res", "render_mode", "blend_res",
+    "blend_margin", "crop_margin", "quant_scales"), donate_argnums=(8,))
+def render_strokes_pool(gen_cfg, enc_cfg, enc_res, render_mode: str,
+                        blend_res: int, blend_margin: int, crop_margin: int,
+                        bundle_params, pool: PoolState, slots, packed,
+                        z, ws, color_override, color_mask,
+                        quant_scales=None):
+    """N concurrent sessions' strokes in ONE device program.
+
+    The round-4 serving artifact failed the 30 ms SLO 6x over at 8 sessions
+    because every device-canvas stroke was its own dispatch (~1 tunnel round
+    trip each, serialized by chip contention).  This program batches the hot
+    path — geometry encode + generator synthesis — across sessions on the
+    MXU, with each session's canvas window gathered from / scattered back to
+    its slot of the shared pool, so a flush window of N strokes costs one
+    upload + one dispatch + one download instead of N.
+
+    Args:
+      pool: donated PoolState (all sessions' canvases stacked on HBM).
+      slots: [N] int32 pool rows; real requests use distinct slots, padding
+        rows point at the scratch slot (last row) so their write-back is
+        harmless.
+      packed: [N, pw*pw + 2] float32 — per-request geometry + (y, x).
+      z / ws: [N, z_dim] or [N, num_ws, w_dim]; exactly one non-None.
+      color_override / color_mask: [N, 3, 3] / [N, 1, 3] (zero mask = no-op).
+
+    Returns (rgba_u8 [N, pw, pw, 4], new PoolState).
+    """
+    # quant_scales is STATIC: int8-vs-bf16 must be part of the jit cache
+    # key (see engine/render.py:render_core); the context is read by the
+    # synthesis convs at trace time.
+    from brushstroke_engine_tpu.ops import quant
+    with quant.static_ctx(quant_scales):
+        return _render_strokes_pool_body(
+            gen_cfg, enc_cfg, enc_res, render_mode, blend_res, blend_margin,
+            crop_margin, bundle_params, pool, slots, packed, z, ws,
+            color_override, color_mask)
+
+
+def _render_strokes_pool_body(gen_cfg, enc_cfg, enc_res, render_mode,
+                              blend_res, blend_margin, crop_margin,
+                              bundle_params, pool, slots, packed,
+                              z, ws, color_override, color_mask):
+    gen_params, gen_state, enc_params, enc_state = bundle_params
+    n = packed.shape[0]
+    pw = int(round((packed.shape[1] - 2) ** 0.5))
+    geom = packed[:, :pw * pw].reshape(n, pw, pw, 1)
+    position = packed[:, pw * pw:].astype(jnp.int32)
+    down = pw // blend_res
+    fy = position[:, 0] // down
+    fx = position[:, 1] // down
+    ch = pool.features.shape[-1]
+
+    # Gather each session's stored window from its pool slot.
+    feats_win = jax.vmap(lambda s, y, x: jax.lax.dynamic_slice(
+        pool.features, (s, y, x, 0), (1, blend_res, blend_res, ch))[0])(
+        slots, fy, fx)
+    mask_win = jax.vmap(lambda s, y, x: jax.lax.dynamic_slice(
+        pool.mask, (s, y, x), (1, blend_res, blend_res))[0])(slots, fy, fx)
+
+    alpha, update = jax.vmap(
+        lambda m: _blend_alpha(m, max(blend_margin // down, 1),
+                               crop_margin // down))(mask_win)
+
+    # The MXU win: ONE batched encode + synthesis for all sessions.
+    geom_feats = geo_encoder_encode(enc_cfg, enc_params, enc_state,
+                                    geom, res=list(enc_res))
+    img, debug, _ = generator_apply(
+        gen_cfg, gen_params, gen_state, z=z, ws=ws,
+        geom_features=geom_feats, positions=position,
+        noise_mode="const", return_debug_data=True,
+        return_features=(blend_res,),
+        blended_features={blend_res: (feats_win, alpha)})
+
+    uvs = debug["uvs"]
+    colors = (debug["colors"] + 1.0) / 2.0
+    colors = color_mask * color_override + (1 - color_mask) * colors
+    stroke = jnp.einsum("bhwk,bck->bhwc", uvs, colors)
+    if render_mode == "clear":
+        a = jnp.sum(uvs[..., :2], axis=-1, keepdims=True)
+    else:
+        a = jnp.ones_like(stroke[..., :1])
+    rgba = jnp.concatenate([stroke, a], axis=-1)
+    rgba_u8 = jnp.clip(rgba * 255.0, 0, 255).astype(jnp.uint8)
+
+    # Write back: sessions hold distinct slots, so windows are disjoint in
+    # the slot dimension and a sequential scan of small dynamic updates is
+    # exact (scatter order only matters for scratch-slot padding rows, whose
+    # content is never read: a fresh canvas zeroes its slot mask).
+    new_feats = debug[f"features{blend_res}"].astype(pool.features.dtype)
+    upd = update[:, :, :, None]
+    merged = feats_win * (1 - upd) + new_feats * upd
+    new_mask_win = jnp.maximum(mask_win, update)
+
+    def write(carry, item):
+        feats, mask = carry
+        s, y, x, mrg, mwin = item
+        feats = jax.lax.dynamic_update_slice(feats, mrg[None], (s, y, x, 0))
+        mask = jax.lax.dynamic_update_slice(mask, mwin[None], (s, y, x))
+        return (feats, mask), None
+
+    (features, mask), _ = jax.lax.scan(
+        write, (pool.features, pool.mask),
+        (slots, fy, fx, merged, new_mask_win))
+    return rgba_u8, PoolState(features=features, mask=mask)
+
+
+class DeviceCanvasPool:
+    """Slot allocator over one stacked on-device canvas (PoolState).
+
+    Sessions that share a canvas configuration (shape, blending level, crop)
+    draw from one pool; a cross-session flush renders all their pending
+    strokes through :func:`render_strokes_pool` as one dispatch.  The last
+    slot is reserved as scratch for batch padding.
+    """
+
+    BUCKETS = (1, 2, 4, 8, 16)
+
+    def __init__(self, engine, canvas_height: int, canvas_width: int,
+                 feature_blending_level: int = 2, blend_margin: int = 16,
+                 crop_margin: int = 0, capacity: int = 8):
+        self.engine = engine
+        self.level = feature_blending_level
+        self.down = 2 ** (feature_blending_level - 1)
+        self.blend_res = engine.patch_width // self.down
+        self.blend_margin = blend_margin
+        self.crop_margin = crop_margin
+        self.canvas_shape = (canvas_height, canvas_width)
+        self.channels = engine.gen_cfg.synthesis.channels(self.blend_res)
+        self._params = (engine.gen_params, engine.gen_state,
+                        engine.enc_params, engine.enc_state)
+        self._free = list(range(capacity))
+        self._capacity = capacity
+        from brushstroke_engine_tpu.utils.util import commit_to_default_device
+        h = -(-canvas_height // self.down)
+        w = -(-canvas_width // self.down)
+        self.state = commit_to_default_device(PoolState(
+            features=jnp.zeros((capacity + 1, h, w, self.channels),
+                               jnp.float32),
+            mask=jnp.zeros((capacity + 1, h, w), jnp.float32)))
+
+    @property
+    def scratch_slot(self) -> int:
+        return self.state.mask.shape[0] - 1
+
+    def acquire(self) -> int:
+        """Claim a slot (fresh canvas: its mask is zeroed); grows the pool
+        by doubling when exhausted (one reallocation + retrace)."""
+        if not self._free:
+            old = self.state
+            grow = self._capacity
+            self._capacity *= 2
+            self._free = list(range(grow, self._capacity))
+            # Keep the scratch slot last: old scratch row becomes a regular
+            # slot (it is zeroed on acquire like any fresh canvas).
+            self.state = PoolState(
+                features=jnp.concatenate(
+                    [old.features,
+                     jnp.zeros((grow,) + old.features.shape[1:],
+                               old.features.dtype)]),
+                mask=jnp.concatenate(
+                    [old.mask, jnp.zeros((grow,) + old.mask.shape[1:],
+                                         old.mask.dtype)]))
+        slot = self._free.pop(0)
+        self.reset_slot(slot)
+        return slot
+
+    def reset_slot(self, slot: int):
+        """New canvas for a session: invalidate its stored features."""
+        self.state = PoolState(
+            features=self.state.features,
+            mask=self.state.mask.at[slot].set(0.0))
+
+    def release(self, slot: int):
+        if slot not in self._free:
+            self._free.append(slot)
+
+    def render_batch(self, requests):
+        """Render N sessions' strokes as one dispatch.
+
+        Args:
+          requests: list of dicts with keys ``slot`` (int), ``geom``
+            (flattened float32 [pw*pw]), ``x``, ``y`` (canvas ints, already
+            down-aligned by the caller or aligned here), and ``opts``
+            (GanBrushOptions; rows must share style kind — all-z or all-ws).
+
+        Returns ``(rgba_u8 device array [bucket, pw, pw, 4], metas list of
+        n)``: materialize with ONE ``np.asarray(rgba)`` for the whole batch
+        (slicing device rows individually would dispatch extra programs),
+        then slice rows [:n] host-side.  ``crop_margin`` cropping is the
+        caller's job (host-side, after download).
+        """
+        eng = self.engine
+        n = len(requests)
+        bucket = next((b for b in self.BUCKETS if b >= n), n)
+        use_ws = requests[0]["opts"].style_ws is not None
+
+        packed_rows, style_rows = [], []
+        override = np.zeros((bucket, 3, 3), np.float32)
+        cmask = np.zeros((bucket, 1, 3), np.float32)
+        slots, metas = [], []
+        for i, req in enumerate(requests):
+            o = req["opts"]
+            o.prepare_style(1)
+            assert (o.style_ws is not None) == use_ws, \
+                "mixed z/ws rows in a pooled render batch"
+            x = (int(req["x"]) // self.down) * self.down
+            y = (int(req["y"]) // self.down) * self.down
+            packed_rows.append(np.concatenate(
+                [req["geom"], np.asarray([y, x], np.float32)]))
+            style_rows.append(o.style_ws[0] if use_ws else o.style_z[0])
+            ov, mk = o.color_override(1)
+            if ov is not None:
+                override[i] = ov[0]
+                cmask[i, 0] = mk[0, 0]
+            slots.append(int(req["slot"]))
+            metas.append({"x": x + self.crop_margin,
+                          "y": y + self.crop_margin})
+        for _ in range(bucket - n):
+            packed_rows.append(packed_rows[-1])
+            style_rows.append(style_rows[-1])
+            slots.append(self.scratch_slot)
+
+        packed = jnp.asarray(np.stack(packed_rows).astype(np.float32))
+        style = jnp.asarray(np.stack(style_rows).astype(np.float32))
+        slots_arr = jnp.asarray(np.asarray(slots, np.int32))
+        rgba, self.state = render_strokes_pool(
+            eng.gen_cfg, eng.enc_cfg, tuple(eng.enc_res), eng.render_mode,
+            self.blend_res, self.blend_margin, self.crop_margin,
+            self._params, self.state, slots_arr, packed,
+            None if use_ws else style, style if use_ws else None,
+            jnp.asarray(override), jnp.asarray(cmask),
+            quant_scales=eng._quant_key())
+        return rgba, metas
+
+
 class DevicePaintSession:
     """Stateful wrapper: an interactive painting session whose feature canvas
     never leaves the device.  API mirrors PaintingHelper.render_stroke for

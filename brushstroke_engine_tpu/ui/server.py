@@ -54,7 +54,8 @@ class DrawingWebSocketHandler(tornado.websocket.WebSocketHandler):
 
     def initialize(self, paint_engine, style_seed, debug_dir,
                    saved_zs_filename=None, libraries=None,
-                   use_device_canvas=False, batcher=None):
+                   use_device_canvas=False, batcher=None,
+                   dev_batcher=None):
         self.helper = PaintingHelper(paint_engine, style_seed=style_seed,
                                      debug_dir=debug_dir)
         self.zs_file = saved_zs_filename
@@ -62,6 +63,12 @@ class DrawingWebSocketHandler(tornado.websocket.WebSocketHandler):
         self.use_positions = False
         self.uvs_mapping = False
         self.batcher = batcher
+        # Cross-session device-canvas batcher (one dispatch per flush
+        # window for ALL sessions' strokes); the session's canvas lives in
+        # a slot of the batcher's stacked on-device pool.
+        self.dev_batcher = dev_batcher
+        self.dev_pool = None
+        self.dev_slot = None
         # Device-resident feature canvas (engine/device_canvas.py): the
         # whole per-stroke step is one donated-state device dispatch
         # (~2.5 ms at 256px) instead of host feature traffic.  Requires a
@@ -179,6 +186,35 @@ class DrawingWebSocketHandler(tornado.websocket.WebSocketHandler):
         is_full_patch = bg_img.shape[0] == pw and bg_img.shape[1] == pw
         if self.use_device_canvas and self._blend_level > 0 and \
                 self.use_positions and is_full_patch:
+            if self.dev_batcher is not None and self._canvas_shape:
+                # Pooled path: the stroke joins the next cross-session
+                # flush; N concurrent painters cost ONE device dispatch
+                # per window instead of N serialized round trips
+                # (round-4 8-session ws_p50 was 179 ms for this reason).
+                if self.dev_slot is None:
+                    self.dev_pool = self.dev_batcher.pool_for(
+                        self._canvas_shape, self._blend_level,
+                        int(meta.get("crop_margin", 0)))
+                    self.dev_slot = self.dev_batcher.acquire_slot(
+                        self.dev_pool)
+                extra = meta["extra_data"] or 0
+
+                def respond(img, meta_out, _extra=extra, _t_recv=t_recv):
+                    self.write_message(
+                        protocol.int32_to_binary(_extra)
+                        + protocol.image_patch_to_binary(
+                            img, meta_out["x"], meta_out["y"]), binary=True)
+                    t0 = meta_out.get("_t_start")
+                    t1 = meta_out.get("_t_end")
+                    if t0 is not None and t1 is not None:
+                        self._send_timing(_t_recv, t0, t1, "device_batched")
+
+                geom = np.asarray(self.helper.engine.prepare_geom_input(
+                    bg_img), np.float32).ravel()
+                self.dev_batcher.submit(
+                    self, self.dev_pool, self.dev_slot, geom, opts,
+                    int(meta["x"]), int(meta["y"]), respond)
+                return
             from brushstroke_engine_tpu.engine.device_canvas import (
                 DevicePaintSession,
             )
@@ -287,10 +323,18 @@ class DrawingWebSocketHandler(tornado.websocket.WebSocketHandler):
                                   int(msg.get("cols")))
             self._blend_level = int(msg.get("feature_blending", 0))
             self.dev_session = None
+            self._release_dev_slot()
         else:
             logger.warning(f"Unknown json message type {mtype}")
 
+    def _release_dev_slot(self):
+        if self.dev_slot is not None:
+            self.dev_batcher.release_slot(self.dev_pool, self.dev_slot)
+            self.dev_pool = None
+            self.dev_slot = None
+
     def on_close(self):
+        self._release_dev_slot()
         logger.info("Socket closed.")
 
 
@@ -360,8 +404,11 @@ def create_server(encoder_checkpoint, gan_checkpoint, debug_dir=None,
         libraries[spec_name] = lib
 
     batcher = None
+    dev_batcher = None
     if batch_window_ms > 0 and hasattr(engine, "_render_stroke_jax"):
         batcher = RenderBatcher(engine, batch_window_ms)
+        if use_device_canvas:
+            dev_batcher = DeviceRenderBatcher(engine, batch_window_ms)
 
     app = tornado.web.Application([
         (r"/websocket/", DrawingWebSocketHandler,
@@ -370,7 +417,7 @@ def create_server(encoder_checkpoint, gan_checkpoint, debug_dir=None,
               saved_zs_filename=(z_file if enable_z_saving else None),
               libraries=libraries,
               use_device_canvas=use_device_canvas,
-              batcher=batcher)),
+              batcher=batcher, dev_batcher=dev_batcher)),
         (r"/brush/([^/]+)/([^/]+)\.jpg", BrushIconHandler,
          dict(libraries=libraries)),
         (r"/static/(.*)", tornado.web.StaticFileHandler,
@@ -380,6 +427,7 @@ def create_server(encoder_checkpoint, gan_checkpoint, debug_dir=None,
               library_specs=library_specs)),
     ])
     app.paint_engine = engine
+    app.dev_batcher = dev_batcher
     return app
 
 
@@ -530,6 +578,147 @@ class RenderBatcher:
                 except Exception:
                     logger.exception("RenderBatcher: finishing one request "
                                      "failed; its response is dropped")
+
+
+class DeviceRenderBatcher:
+    """Cross-session micro-batching for DEVICE-CANVAS strokes.
+
+    The round-4 architecture rendered one session per dispatch on this path
+    (each ~1 host<->device round trip, serialized by chip contention), so
+    contended latency grew linearly with sessions: 8-session ws_p50 179 ms
+    vs 49 ms single-session.  This batcher coalesces all sessions' pending
+    strokes each flush window into ONE pooled dispatch
+    (engine/device_canvas.py:render_strokes_pool): the per-session canvases
+    are slots of a stacked on-device PoolState, the generator forward is
+    batched on the MXU, and the whole window costs one upload + one
+    dispatch + one download.
+
+    Ordering: at most one request per session per flush (later strokes stay
+    queued so they blend against their predecessor's feature write-back),
+    and all device work runs on a single dedicated worker thread, so each
+    session's responses arrive in stroke order.
+    """
+
+    def __init__(self, engine, window_ms: float, pool_capacity: int = 8):
+        import concurrent.futures
+        import threading
+        self.engine = engine
+        self.window_ms = window_ms
+        self.pool_capacity = pool_capacity
+        self.pools = {}
+        self.items = []
+        self._cb = None
+        # ONE worker: flush jobs execute FIFO, which both serializes the
+        # donated pool-state transitions and preserves per-session response
+        # order across flush windows.
+        self._worker = concurrent.futures.ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="devbatch")
+        # Guards pool.state transitions that happen on the IOLoop thread
+        # (slot acquire/release/reset) against the worker's render dispatch.
+        self._state_lock = threading.Lock()
+
+    def pool_for(self, canvas_shape, level, crop_margin):
+        from brushstroke_engine_tpu.engine.device_canvas import (
+            DeviceCanvasPool,
+        )
+        key = (tuple(canvas_shape), int(level), int(crop_margin))
+        if key not in self.pools:
+            self.pools[key] = DeviceCanvasPool(
+                self.engine, canvas_shape[0], canvas_shape[1],
+                feature_blending_level=level, crop_margin=crop_margin,
+                capacity=self.pool_capacity)
+        return self.pools[key]
+
+    def acquire_slot(self, pool):
+        with self._state_lock:
+            return pool.acquire()
+
+    def release_slot(self, pool, slot):
+        with self._state_lock:
+            pool.release(slot)
+
+    def start(self):
+        import tornado.ioloop
+        if self._cb is None:
+            self._cb = tornado.ioloop.PeriodicCallback(self.flush,
+                                                       self.window_ms)
+            self._cb.start()
+
+    def submit(self, handler, pool, slot, geom, opts, x, y, respond):
+        self.items.append({"handler": handler, "pool": pool, "slot": slot,
+                           "geom": geom, "opts": opts, "x": x, "y": y,
+                           "respond": respond})
+        self.start()
+
+    def flush(self):
+        import tornado.ioloop
+        if not self.items:
+            return
+        # At most one request per session this flush; the rest stay queued
+        # (in order) so they see this one's feature write-back.
+        taken, deferred, seen = [], [], set()
+        for it in self.items:
+            key = id(it["handler"])
+            (deferred if key in seen else taken).append(it)
+            seen.add(key)
+        self.items = deferred
+
+        groups = {}
+        for it in taken:
+            key = (id(it["pool"]), it["opts"].style_ws is not None)
+            groups.setdefault(key, []).append(it)
+        loop = tornado.ioloop.IOLoop.current()
+        self._worker.submit(self._run_groups, list(groups.values()), loop)
+
+    def _run_groups(self, groups, loop):
+        for group in groups:
+            pool = group[0]["pool"]
+            n = len(group)
+            t0 = time.perf_counter()
+            try:
+                with self._state_lock:
+                    rgba, metas = pool.render_batch(
+                        [{"slot": it["slot"], "geom": it["geom"],
+                          "x": it["x"], "y": it["y"], "opts": it["opts"]}
+                         for it in group])
+                # ONE download for the whole batch, outside the lock.
+                imgs = np.asarray(rgba)
+            except Exception:
+                logger.exception(
+                    "DeviceRenderBatcher: batched dispatch failed; "
+                    f"dropping {n} response(s)")
+                continue
+            t1 = time.perf_counter()
+            m = pool.crop_margin
+            for i, it in enumerate(group):
+                img = imgs[i]
+                if m > 0:
+                    img = img[m:-m, m:-m]
+                meta = dict(metas[i])
+                meta["_t_start"] = t0
+                meta["_t_end"] = t1
+                loop.add_callback(it["respond"],
+                                  np.ascontiguousarray(img), meta)
+
+    def warmup(self, rows, cols, level, buckets=(1, 2, 4, 8),
+               crop_margin=0):
+        """Pre-compile the pooled render for the given canvas config and
+        batch buckets (scratch-slot rows; no real canvas is touched)."""
+        from brushstroke_engine_tpu.engine.brush import GanBrushOptions
+        from brushstroke_engine_tpu.engine.canvas import PaintingHelper
+        pool = self.pool_for((rows, cols), level, crop_margin)
+        eng = self.engine
+        patch = PaintingHelper.test_stroke(eng.patch_width)
+        geom = np.asarray(eng.prepare_geom_input(patch), np.float32).ravel()
+        for bucket in buckets:
+            reqs = []
+            for i in range(bucket):
+                o = GanBrushOptions()
+                o.set_style(eng.random_style(i), i)
+                reqs.append({"slot": pool.scratch_slot, "geom": geom,
+                             "x": 0, "y": 0, "opts": o})
+            rgba, _ = pool.render_batch(reqs)
+            np.asarray(rgba)
 
 
 def warmup_engine(engine, blend_levels=(0, 2), batch_buckets=()):
@@ -698,6 +887,10 @@ def run_main(argv=None):
         warmup_engine(server.paint_engine,
                       batch_buckets=(1, 2, 4, 8) if args.batch_window_ms > 0
                       else ())
+        if server.dev_batcher is not None:
+            # Pooled device-canvas programs are shaped by the canvas size;
+            # warm the client default (home.html canvas=2000, blending 2).
+            server.dev_batcher.warmup(2000, 2000, level=2)
     server.listen(args.port)
     logger.info(f"Serving on http://localhost:{args.port}")
     tornado.ioloop.IOLoop.instance().start()

@@ -7,7 +7,7 @@ import jax.numpy as jnp
 
 from brushstroke_engine_tpu.engine.brush import GanBrushOptions
 from brushstroke_engine_tpu.engine.device_canvas import (
-    DevicePaintSession, init_canvas_state, _blend_alpha,
+    DeviceCanvasPool, DevicePaintSession, init_canvas_state, _blend_alpha,
 )
 from tests.helpers import make_engine
 
@@ -109,6 +109,113 @@ class TestDeviceSession:
         opts.set_color(0, np.asarray([255, 0, 0], np.uint8))
         red, _ = sess.render_stroke(p, opts, x=0, y=0)
         assert not np.array_equal(base, red)
+
+
+class TestDeviceCanvasPool:
+    """Pooled cross-session batching: N sessions' strokes in ONE dispatch
+    (engine/device_canvas.py:render_strokes_pool)."""
+
+    @staticmethod
+    def _req(eng, slot, patch, opts, x, y):
+        return {"slot": slot, "x": x, "y": y, "opts": opts,
+                "geom": np.asarray(eng.prepare_geom_input(patch),
+                                   np.float32).ravel()}
+
+    def test_pooled_matches_serial_sessions(self):
+        """Two sessions' interleaved strokes through the pool must match two
+        independent DevicePaintSessions (same styles, same positions,
+        overlapping second strokes) to within u8 rounding of the batched
+        matmul reassociation."""
+        eng = make_engine()
+        pw = eng.patch_width
+        opts_a = GanBrushOptions()
+        opts_a.set_style(eng.random_style(1), 1)
+        opts_b = GanBrushOptions()
+        opts_b.set_style(eng.random_style(2), 2)
+        opts_b.set_color(0, np.asarray([255, 0, 0], np.uint8))
+        pa1, pa2 = stroke_patch(pw, 1), stroke_patch(pw, 2)
+        pb1, pb2 = stroke_patch(pw, 3), stroke_patch(pw, 4)
+
+        sa = DevicePaintSession(eng, 128, 128, feature_blending_level=1)
+        sb = DevicePaintSession(eng, 128, 128, feature_blending_level=1)
+        ra1, ma1 = sa.render_stroke(pa1, opts_a, x=16, y=16)
+        rb1, mb1 = sb.render_stroke(pb1, opts_b, x=0, y=0)
+        ra2, ma2 = sa.render_stroke(pa2, opts_a, x=32, y=16)  # overlaps
+        rb2, mb2 = sb.render_stroke(pb2, opts_b, x=16, y=0)
+
+        pool = DeviceCanvasPool(eng, 128, 128, feature_blending_level=1,
+                                capacity=2)
+        slot_a, slot_b = pool.acquire(), pool.acquire()
+        rgba, metas = pool.render_batch(
+            [self._req(eng, slot_a, pa1, opts_a, 16, 16),
+             self._req(eng, slot_b, pb1, opts_b, 0, 0)])
+        out1 = np.asarray(rgba)
+        rgba, metas2 = pool.render_batch(
+            [self._req(eng, slot_a, pa2, opts_a, 32, 16),
+             self._req(eng, slot_b, pb2, opts_b, 16, 0)])
+        out2 = np.asarray(rgba)
+
+        assert metas == [ma1, mb1] and metas2 == [ma2, mb2]
+        for got, want in [(out1[0], ra1), (out1[1], rb1),
+                          (out2[0], ra2), (out2[1], rb2)]:
+            assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+    def test_padding_rows_only_touch_scratch(self):
+        """A 3-request batch pads to bucket 4; the padding row must write
+        only the scratch slot, never a real session's canvas."""
+        eng = make_engine()
+        pw = eng.patch_width
+        pool = DeviceCanvasPool(eng, 128, 128, feature_blending_level=1,
+                                capacity=4)
+        slots = [pool.acquire() for _ in range(4)]
+        opts = GanBrushOptions()
+        opts.set_style(eng.random_style(7), 7)
+        p = stroke_patch(pw, 5)
+        # Paint slot 3 alone so it has stored state to corrupt.
+        pool.render_batch([self._req(eng, slots[3], p, opts, 16, 16)])
+        mask3_before = np.asarray(pool.state.mask[slots[3]])
+        feats3_before = np.asarray(pool.state.features[slots[3]])
+        # 3 requests (slots 0-2) -> bucket 4 -> one pad row at x=(48,48).
+        pool.render_batch([
+            self._req(eng, slots[0], p, opts, 16, 16),
+            self._req(eng, slots[1], p, opts, 32, 32),
+            self._req(eng, slots[2], p, opts, 48, 48)])
+        np.testing.assert_array_equal(
+            np.asarray(pool.state.mask[slots[3]]), mask3_before)
+        np.testing.assert_array_equal(
+            np.asarray(pool.state.features[slots[3]]), feats3_before)
+
+    def test_pool_grows_and_new_slot_renders(self):
+        eng = make_engine()
+        pw = eng.patch_width
+        pool = DeviceCanvasPool(eng, 64, 64, feature_blending_level=1,
+                                capacity=1)
+        s0 = pool.acquire()
+        s1 = pool.acquire()  # forces a grow
+        assert s1 != s0 and pool.scratch_slot not in (s0, s1)
+        opts = GanBrushOptions()
+        opts.set_style(eng.random_style(1), 1)
+        p = stroke_patch(pw, 6)
+        rgba, metas = pool.render_batch(
+            [self._req(eng, s0, p, opts, 0, 0),
+             self._req(eng, s1, p, opts, 0, 0)])
+        out = np.asarray(rgba)
+        # Same style, same fresh canvases: the two rows must agree.
+        assert np.abs(out[0].astype(int) - out[1].astype(int)).max() <= 1
+
+    def test_reset_slot_invalidates_features(self):
+        eng = make_engine()
+        pw = eng.patch_width
+        pool = DeviceCanvasPool(eng, 64, 64, feature_blending_level=1,
+                                capacity=1)
+        s = pool.acquire()
+        opts = GanBrushOptions()
+        opts.set_style(eng.random_style(3), 3)
+        p = stroke_patch(pw, 7)
+        pool.render_batch([self._req(eng, s, p, opts, 0, 0)])
+        assert float(np.asarray(pool.state.mask[s]).max()) == 1.0
+        pool.reset_slot(s)
+        assert float(np.asarray(pool.state.mask[s]).max()) == 0.0
 
 
 class TestDispatchFetchSplit:

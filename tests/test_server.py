@@ -5,9 +5,16 @@ import json
 import os
 import pickle
 
+# Non-coroutine test bodies (plain self.fetch) run under tornado's
+# run_sync with this timeout (default 5 s) — too short for a first GAN
+# render that pays the XLA compile.  Must be set before tornado.testing
+# reads it.
+os.environ.setdefault("ASYNC_TEST_TIMEOUT", "300")
+
 import numpy as np
 import pytest
 
+import tornado.gen
 import tornado.testing
 import tornado.websocket
 
@@ -173,7 +180,12 @@ class TestGanServer(ServerTestBase):
         ws.close()
 
     def test_brush_icon_renders(self):
-        resp = self.fetch("/brush/Lib/1.jpg")
+        # Dynamic icons render through the GAN: the first fetch pays the
+        # XLA compile, which can exceed tornado's default 5 s async-test
+        # timeout on a cold jit cache (flaked in the round-4 suite runs);
+        # ASYNC_TEST_TIMEOUT is raised module-wide above.
+        resp = self.fetch("/brush/Lib/1.jpg", request_timeout=300,
+                          connect_timeout=300)
         assert resp.code == 200
         assert len(resp.body) > 100
 
@@ -263,6 +275,122 @@ class TestGanServerDeviceCanvas(ServerTestBase):
             assert rtype == 0
             assert img.shape == (pw - 8, pw - 8, 4)
             assert np.isfinite(img.astype(np.float32)).all()
+        ws.close()
+
+
+class TestGanServerDeviceBatched(ServerTestBase):
+    """--device_canvas + --batch_window_ms: concurrent sessions' device-
+    canvas strokes coalesce into ONE pooled dispatch per flush window
+    (ui/server.py:DeviceRenderBatcher), each session keeping its own
+    canvas slot."""
+
+    def _prepare(self):
+        bundle = small_bundle()
+        self.gan_checkpoint = os.path.join(self.tmpdir, "bundle.pkl")
+        save_native(self.gan_checkpoint, bundle)
+
+    def get_app(self):
+        seeds = os.path.join(self.tmpdir, "seeds.txt")
+        with open(seeds, "w") as f:
+            f.write("1\n2\n3\n")
+        return create_server(
+            encoder_checkpoint=None,
+            gan_checkpoint=self.gan_checkpoint,
+            library_specs=[["Lib", "disp", seeds]],
+            use_device_canvas=True,
+            batch_window_ms=15.0)
+
+    @tornado.testing.gen_test(timeout=240)
+    def test_two_sessions_share_one_dispatch(self):
+        assert self._app.dev_batcher is not None
+        conns = []
+        pw = None
+        for seed in (3, 9):
+            ws = yield tornado.websocket.websocket_connect(
+                f"ws://localhost:{self.get_http_port()}/websocket/")
+            info = json.loads((yield ws.read_message()))
+            pw = info["data"]["patch_width"]
+            yield ws.read_message()  # brushinfo
+            ws.write_message(json.dumps({"type": "new_canvas", "rows": 128,
+                                         "cols": 128,
+                                         "feature_blending": 2}))
+            ws.write_message(json.dumps({"type": "set_option",
+                                         "option": "positions",
+                                         "value": True}))
+            ws.write_message(json.dumps({"type": "set_option",
+                                         "option": "timing", "value": True}))
+            ws.write_message(json.dumps({"type": "set_brush", "seed": seed}))
+            yield ws.read_message()  # brushinfo after set_brush
+            conns.append(ws)
+
+        patch = np.zeros((pw, pw, 4), np.uint8)
+        patch[4:24, 4:24, 3] = 255
+        raw0 = protocol.encode_render_request(patch, x=16, y=16)
+        raw1 = protocol.encode_render_request(patch, x=32, y=32)
+        for _round in range(2):  # round 2 exercises stored-feature rows
+            conns[0].write_message(raw0, binary=True)
+            conns[1].write_message(raw1, binary=True)
+            imgs = []
+            for ws, want_xy in zip(conns, ((16, 16), (32, 32))):
+                resp = yield ws.read_message()
+                rtype, meta, img = protocol.decode_render_response(resp)
+                assert rtype == 0
+                assert (meta["x"], meta["y"]) == want_xy
+                assert img.shape == (pw, pw, 4)
+                assert np.isfinite(img.astype(np.float32)).all()
+                timing = json.loads((yield ws.read_message()))
+                assert timing["type"] == "timing"
+                assert timing["data"]["path"] == "device_batched"
+                imgs.append(img)
+            assert not np.array_equal(imgs[0], imgs[1])  # styles differ
+        # Both sessions hold distinct slots of the same pool.
+        pools = list(self._app.dev_batcher.pools.values())
+        assert len(pools) == 1
+        assert len(pools[0]._free) == pools[0]._capacity - 2
+        for ws in conns:
+            ws.close()
+
+    @tornado.testing.gen_test(timeout=240)
+    def test_same_session_burst_stays_ordered(self):
+        """A burst of strokes from one session must come back in order,
+        each blending against its predecessor's write-back (at most one
+        request per session per flush)."""
+        ws = yield tornado.websocket.websocket_connect(
+            f"ws://localhost:{self.get_http_port()}/websocket/")
+        info = json.loads((yield ws.read_message()))
+        pw = info["data"]["patch_width"]
+        yield ws.read_message()
+        ws.write_message(json.dumps({"type": "new_canvas", "rows": 128,
+                                     "cols": 128, "feature_blending": 2}))
+        ws.write_message(json.dumps({"type": "set_option",
+                                     "option": "positions", "value": True}))
+        ws.write_message(json.dumps({"type": "set_brush", "seed": 3}))
+        yield ws.read_message()
+
+        patch = np.zeros((pw, pw, 4), np.uint8)
+        patch[4:24, 4:24, 3] = 255
+        xs = (0, 16, 32)
+        for x in xs:  # burst: no reads between writes
+            ws.write_message(protocol.encode_render_request(
+                patch, x=x, y=16, extra_data=x), binary=True)
+        for x in xs:
+            resp = yield ws.read_message()
+            rtype, meta, img = protocol.decode_render_response(resp)
+            assert rtype == x, "responses out of order"
+            assert (meta["x"], meta["y"]) == (x, 16)
+        # Repeat stroke at a painted spot: stored features dominate.
+        ws.write_message(protocol.encode_render_request(patch, x=16, y=16),
+                         binary=True)
+        resp = yield ws.read_message()
+        _, _, again = protocol.decode_render_response(resp)
+        assert np.isfinite(again.astype(np.float32)).all()
+        # new_canvas releases the slot back to the pool.
+        pool = list(self._app.dev_batcher.pools.values())[0]
+        free_before = len(pool._free)
+        ws.write_message(json.dumps({"type": "new_canvas", "rows": 128,
+                                     "cols": 128, "feature_blending": 2}))
+        yield tornado.gen.sleep(0.1)
+        assert len(pool._free) == free_before + 1
         ws.close()
 
 
