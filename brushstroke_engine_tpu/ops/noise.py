@@ -61,43 +61,50 @@ def wrapped_const_noise(noise_const, positions, img_resolution: int):
     row_c = coords(norm[:, 1])   # depends on x offset; indexed by output col j
     col_c = coords(norm[:, 0])   # depends on y offset; indexed by output row i
 
-    # TPU-first: per-element gathers are slow on TPU, but the bilinear wrap
-    # is separable, so express it as two dense selection matmuls on the MXU:
-    #   out[b, i, j] = sum_{r,c} Wrow[b, j, r] * Wcol[b, i, c] * N[r, c]
-    # where Wrow/Wcol are 2-sparse interpolation matrices built from the
-    # coordinates with broadcast comparisons (~100x faster than the gather
-    # formulation at 256px).
-    # The coordinate grids are uniform shifts: c(t) = (t + s) mod p with a
-    # single fractional shift s per axis (p = r_l - 1).  So the whole sample
-    # is a fractional 2D CIRCULAR SHIFT of the texture: take ONE contiguous
-    # dynamic_slice of a 2x2-tiled texture per batch element (TPU-fast), and
-    # bilinear-blend its four integer-shifted views.
+    # TPU-first: the coordinate grids are uniform shifts, c(t) = (t + s)
+    # mod p with a single fractional shift s per axis (p = r_l - 1), so the
+    # whole sample is a fractional 2D circular shift of the texture: take
+    # contiguous dynamic_slices of period-p tilings (TPU-fast) and
+    # bilinear-blend the four integer-shifted corner views.
+    #
+    # Bilinear corner values, derived to match grid_sample exactly: for an
+    # output cell with coordinate c = (a + f), a = floor(c) in [0, p-1],
+    # the two taps are texture[a] and texture[a + 1] where a + 1 may be p
+    # (the LAST texel) -- the coordinates live in [0, p) but the texture has
+    # p + 1 texels, so the '+1' corner is NOT the periodic wrap to texel 0.
+    # Hence the +1 corner views tile T[1 : p+1] (period p), not T[0 : p].
+    # (Round-5 fix: the previous single-window formulation wrapped the +1
+    # tap of texel p-1 to texel 0, diverging from the reference by one
+    # noise row/column per period -- caught by
+    # TestStitchAndFinetuneParity::test_gstitch_updates via noise_strength
+    # gradient sign flips.)
     p = r_l - 1
-    s_row = jnp.mod(row_c[:, 0], float(p))          # [B] shift along j (x)
-    s_col = jnp.mod(col_c[:, 0], float(p))          # [B] shift along i (y)
+    s_row = row_c[:, 0]                             # [B] in [0, p): x shift
+    s_col = col_c[:, 0]                             # [B] in [0, p): y shift
     k_row = jnp.floor(s_row).astype(jnp.int32)
     k_col = jnp.floor(s_col).astype(jnp.int32)
     f_row = (s_row - k_row)[:, None, None]
     f_col = (s_col - k_col)[:, None, None]
 
-    # out[b, i, j] = N[(j + s_x) mod p, (i + s_y) mod p]  (reference's
-    # transposed indexing); transpose once so rows follow i, cols follow j.
-    m = noise_const[:p, :p].T.astype(jnp.float32)   # [p, p] (i-major)
-    # [2p+2, 2p+2] so a (p+2)-window starting at k <= p-1 never clamps
-    # (dynamic_slice clamps out-of-range starts, which would corrupt wraps).
-    rows = jnp.concatenate([m, m, m[:2]], axis=0)
-    tiled = jnp.concatenate([rows, rows, rows[:, :2]], axis=1)
+    # out[b, i, j] = N[row = c(j, x), col = c(i, y)] (reference's transposed
+    # indexing); transpose once so the first axis follows i, second j.
+    m = noise_const.T.astype(jnp.float32)           # [r_l, r_l] (i-major)
 
-    def slice_one(kc, kr):
-        # [p+2, p+2] window: rows (i + k_col), cols (j + k_row), including
-        # the +1 shifts needed for bilinear and the wrap row/col r_l-1.
-        return jax.lax.dynamic_slice(tiled, (kc, kr), (p + 2, p + 2))
+    def tile2(x):
+        # Period-p tiling of a [p, p] block to [2p+1, 2p+1]: slice starts
+        # k <= p-1 with window r_l = p+1 end at 2p, in range (dynamic_slice
+        # clamps out-of-range starts, which would corrupt wraps).
+        rows = jnp.concatenate([x, x, x[:1]], axis=0)
+        return jnp.concatenate([rows, rows, rows[:, :1]], axis=1)
 
-    win = jax.vmap(slice_one)(k_col, k_row)         # [B, p+2, p+2]
-    c00 = win[:, :r_l, :r_l]
-    c01 = win[:, :r_l, 1:r_l + 1]
-    c10 = win[:, 1:r_l + 1, :r_l]
-    c11 = win[:, 1:r_l + 1, 1:r_l + 1]
+    corners = [tile2(m[di:di + p, dj:dj + p])       # [2p+1, 2p+1] each
+               for di in (0, 1) for dj in (0, 1)]
+
+    def slice_all(kc, kr):
+        return [jax.lax.dynamic_slice(t, (kc, kr), (r_l, r_l))
+                for t in corners]
+
+    c00, c01, c10, c11 = jax.vmap(slice_all)(k_col, k_row)  # [B, r_l, r_l]
     out = ((1 - f_col) * (1 - f_row) * c00
            + (1 - f_col) * f_row * c01
            + f_col * (1 - f_row) * c10

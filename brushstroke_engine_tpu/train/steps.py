@@ -373,20 +373,23 @@ def make_geom_step(cfg: TrainConfig, warmstart: bool):
     return step
 
 
-def make_stitch_step(cfg: TrainConfig):
+def make_stitch_step(cfg: TrainConfig, stitcher=None):
     """Gstitch: GAN + stitch losses on cross-composited overlapping crops
     (loss_modified.accumulate_gradients_stitch, :108-138).  Crop rectangles
     are per-batch host ints -> static under jit (retraces per unique crop
     pair are avoided by passing crop deltas as traced ints where possible;
     the masks/slices inside the stitcher already take traced coordinates, so
-    only the *structure* is static)."""
+    only the *structure* is static).  ``stitcher`` may be injected (parity
+    tests use crop_margin=0 to null the reference's offset-crop indexing
+    quirk); ``positions1`` overrides the random canvas positions."""
     from brushstroke_engine_tpu.train.stitching import RandomStitcher
     losses = cfg.losses("stitch")
-    stitcher = RandomStitcher()
+    if stitcher is None:
+        stitcher = RandomStitcher()
 
     @partial(jax.jit, donate_argnums=(0,))
     def step(state, geom_feats1, geom_feats2, z, crop1, crop2, rng,
-             ema_beta):
+             ema_beta, positions1=None):
         g_opt, _, _ = make_optimizers(cfg)
         k_stitch, k_aug1, k_aug2, k_loss = jax.random.split(rng, 4)
 
@@ -394,7 +397,8 @@ def make_stitch_step(cfg: TrainConfig):
             res = stitcher.generate_with_stitching(
                 cfg.gen_cfg, g_params,
                 {"w_avg": state["w_avg"], "noise": state["noise"]},
-                z, geom_feats1, geom_feats2, crop1, crop2, k_stitch)
+                z, geom_feats1, geom_feats2, crop1, crop2, k_stitch,
+                positions1=positions1)
             fake = jnp.concatenate([res["fake1"], res["fake2"]], axis=0)
             fake_logits = _run_d(cfg, state["d_params"], fake, k_aug1,
                                  state["ada_p"])

@@ -119,6 +119,31 @@ class TestOpParity:
         np.testing.assert_allclose(_nchw(got), want.numpy(),
                                    rtol=1e-6, atol=1e-6)
 
+    def test_wrapped_noise_parity(self):
+        """ops.wrapped_const_noise vs the reference's position-wrapped
+        grid_sample (networks.py:295-299 create_sampling_grid + :373-381),
+        including FRACTIONAL texel offsets where the bilinear '+1' tap can
+        land on the last texel (the round-5 fix)."""
+        nets = _import_ref("training.networks")
+        rng = np.random.RandomState(3)
+        for r_l, r_img, pos in [(8, 32, [[3, 17]]),
+                                (16, 32, [[31, 5], [9, 30], [0, 0]]),
+                                (32, 32, [[1, 2], [130, 77]])]:
+            noise = rng.randn(r_l, r_l).astype(np.float32)
+            positions = torch.tensor(pos, dtype=torch.int64)
+            norm = (positions % r_img).float() / (r_img - 1)
+            grid = nets.create_sampling_grid(r_l)
+            g = ((grid + norm.unsqueeze(1).unsqueeze(1)) % 1) * 2 - 1
+            want = torch.nn.functional.grid_sample(
+                torch.from_numpy(noise)[None, None].expand(
+                    len(pos), -1, -1, -1),
+                g, padding_mode="reflection", align_corners=True)
+            got = ops.wrapped_const_noise(
+                jnp.asarray(noise), jnp.asarray(pos, jnp.int32), r_img)
+            np.testing.assert_allclose(
+                np.asarray(got)[..., 0], want[:, 0].numpy(),
+                rtol=1e-4, atol=1e-5)
+
     def test_setup_filter(self):
         ref = _import_ref("torch_utils.ops.upfirdn2d")
         for taps, kw in [([1, 3, 3, 1], {}), ([1, 2, 1], {"gain": 4.0}),
@@ -839,14 +864,27 @@ def _force_const_noise(monkeypatch):
     """The reference's run_G never passes noise_mode, so SynthesisLayer
     draws fresh random noise (networks.py:362-371); force 'const' so both
     frameworks consume the SAME converted noise buffers (gradients w.r.t.
-    noise_strength depend on the actual noise values)."""
-    nets = _import_ref("training.networks")
-    orig = nets.SynthesisLayer.forward
+    noise_strength depend on the actual noise values).
 
-    def forced(self, x, w, noise_mode="random", **kw):
-        return orig(self, x, w, noise_mode="const", **kw)
+    The reference tree is imported under TWO module names ('training.*' via
+    the SG2 path injection, and 'thirdparty.stylegan2_ada_pytorch.training.*'
+    via networks_modified.py:21), giving two distinct SynthesisLayer class
+    objects; the Generator's blocks are built from the thirdparty-anchored
+    one, so BOTH must be patched (round-5 fix: patching only
+    'training.networks' left the reference drawing random noise, which the
+    loss hides -- noise_strength is 0 -- but its gradient does not)."""
+    import importlib
+    mods = [_import_ref("training.networks"),
+            importlib.import_module(
+                "thirdparty.stylegan2_ada_pytorch.training.networks")]
 
-    monkeypatch.setattr(nets.SynthesisLayer, "forward", forced)
+    for nets in mods:
+        orig = nets.SynthesisLayer.forward
+
+        def forced(self, x, w, noise_mode="random", *, _orig=orig, **kw):
+            return _orig(self, x, w, noise_mode="const", **kw)
+
+        monkeypatch.setattr(nets.SynthesisLayer, "forward", forced)
 
 
 def _ref_phase_opt_step(fl, module, opt, batch, phase, gain, prep=None):
@@ -1024,3 +1062,189 @@ class TestGradientUpdateParity:
         fg_r = _flat_tree(_convert_g(gs["G"], cfg.gen_cfg))
         worst = max(np.abs(fg_m[k] - fg_r[k]).mean() for k in fg_m)
         assert worst < 0.05 * lr_g * 3, worst
+
+
+# ---------------------------------------------------------------------------
+# (g) Gstitch + finetune (frozen-G_orig) update parity — round-5 VERDICT
+# task 3.  Both phases were load-bearing in the r4 training runs but only
+# self-consistency tested before.
+# ---------------------------------------------------------------------------
+
+STITCH_LOSSES = "1.0*gan(fake)+1.0*gan(fake_composite)+1.0*l1(patch)"
+# finetune_flags.txt minus the lpips term: the reference's LPIPSLossItem
+# needs the `lpips` package (absent here, stubbed to raise), so executable
+# parity for it is env-blocked; l1(fake_orig) exercises the same frozen-
+# G_orig plumbing (loss_modified.py:181-204) with an executable target.
+WARM_ORIG_LOSSES = "0.5*iou_inv(uvs)+0.5*l1(fake_orig)"
+
+
+class TestStitchAndFinetuneParity:
+    def test_gstitch_updates(self, grad_setup, monkeypatch):
+        """accumulate_gradients_stitch (loss_modified.py:108-138) vs
+        train/steps.make_stitch_step: G deltas through the SHARED lazy G
+        Adam match.  crop_margin=0 nulls the reference's offset-crop
+        indexing quirk (stitching.py:246-252, documented divergence in
+        train/stitching.py) so the composites/patches align exactly."""
+        from brushstroke_engine_tpu.train.state import (
+            TrainConfig, init_train_state, make_optimizers)
+        from brushstroke_engine_tpu.train import steps
+        from brushstroke_engine_tpu.train.stitching import (
+            RandomStitcher as MyStitcher)
+
+        gs = grad_setup
+        bundle, batch, d_cfg = gs["bundle"], gs["batch"], gs["d_cfg"]
+        _force_const_noise(monkeypatch)
+        stitching_mod = _import_ref_stitching()
+        lm = _import_ref("training.loss_modified")
+
+        rng = np.random.RandomState(60)
+        pos = rng.randint(0, RES - 1, size=(4, 2)).astype(np.int64)
+        geom8_2 = rng.randn(4, GEOM_CH, 8, 8).astype(np.float32)
+        crop1 = (0, 0, RES, RES)
+        crop2 = (6, 6, RES, RES)   # overlap 26x26 == min_overlap below
+
+        monkeypatch.setattr(
+            stitching_mod.RandomStitcher, "gen_random_positions",
+            staticmethod(lambda batch_, width: torch.from_numpy(pos.copy())))
+        ref_stitcher = stitching_mod.RandomStitcher(
+            crop_margin=0, min_overlap=RES - 6)
+        fl = lm.ForgerLoss(
+            device="cpu", G=gs["G"], D=gs["D"], geom_encoder=None,
+            stitcher=ref_stitcher, augment_pipe=None, style_mixing_prob=0,
+            r1_gamma=10, geom_phase_losses=GEOM_LOSSES,
+            main_phase_losses=MAIN_LOSSES, geom_warmstart_losses=None,
+            stitch_phase_losses=STITCH_LOSSES)
+
+        cfg = TrainConfig(
+            gen_cfg=bundle.gen_cfg, disc_cfg=d_cfg, enc_cfg=bundle.enc_cfg,
+            batch_size=4, noise_mode="const", style_mixing_prob=0.0,
+            r1_gamma=10.0, main_phase_losses=MAIN_LOSSES,
+            geom_phase_losses=GEOM_LOSSES, geom_warmstart_losses=GEOM_LOSSES,
+            stitch_phase_losses=STITCH_LOSSES, stitch_interval=4,
+            augment=None, geom_phase_mode="last_and_rgb")
+        state = init_train_state(cfg, jax.random.PRNGKey(0),
+                                 g_params=bundle.gen_params,
+                                 g_state=bundle.gen_state)
+        _, d_optax, _ = make_optimizers(cfg)
+        dp = jax.tree_util.tree_map(jnp.array, gs["d_params"])
+        state["d_params"] = dp
+        state["d_opt"] = d_optax.init(dp)
+
+        stitch_step = steps.make_stitch_step(
+            cfg, stitcher=MyStitcher(crop_margin=0, min_overlap=RES - 6))
+        g_before = _np_snapshot(state["g_params"])
+        state, stats = stitch_step(
+            state, [jnp.asarray(_nhwc(batch["geom8"]))],
+            [jnp.asarray(_nhwc(geom8_2))], jnp.asarray(batch["z"]),
+            jnp.asarray(crop1), jnp.asarray(crop2), jax.random.PRNGKey(1),
+            jnp.float32(0.5), positions1=jnp.asarray(pos))
+
+        # The exact reference loop execution for the Gstitch phase
+        # (training_loop_modified.py:417-462, gain hardcoded 1, shared
+        # G optimizer).
+        gs["g_opt"].zero_grad(set_to_none=True)
+        gs["G"].requires_grad_(True)
+        fl.accumulate_gradients_stitch(
+            geom_feature1=[torch.from_numpy(batch["geom8"])],
+            geom_feature2=[torch.from_numpy(geom8_2)],
+            crop1=crop1, crop2=crop2,
+            gen_z=torch.from_numpy(batch["z"]), gen_c=torch.zeros(4, 0),
+            gain=1)
+        gs["G"].requires_grad_(False)
+        for p in gs["G"].parameters():
+            if p.grad is not None:
+                torch.nan_to_num(p.grad, nan=0.0, posinf=1e5, neginf=-1e5,
+                                 out=p.grad)
+        gs["g_opt"].step()
+
+        _assert_update_parity(g_before, state["g_params"],
+                              _convert_g(gs["G"], cfg.gen_cfg),
+                              2e-4 * (4 / 5), "Gstitch")
+
+    def test_ggeom_warm_fake_orig_updates(self, grad_setup, monkeypatch):
+        """Ggeom-warm with frozen-G_orig anchoring (the clarity-finetune
+        phase, loss_modified.py:181-204): fake_orig comes from the frozen
+        pre-finetune generator, style mixing is forced off, the l1 target
+        is detached, and last_and_rgb freezing still holds."""
+        import copy
+        from brushstroke_engine_tpu.train.state import (
+            TrainConfig, init_train_state)
+        from brushstroke_engine_tpu.train import steps
+
+        gs = grad_setup
+        bundle, batch, d_cfg = gs["bundle"], gs["batch"], gs["d_cfg"]
+        _force_const_noise(monkeypatch)
+        lm = _import_ref("training.loss_modified")
+
+        # G_orig = the pre-finetune weights; then deterministically perturb
+        # the live G so fake_img != fake_orig (nonzero l1 gradient).
+        G_orig = copy.deepcopy(gs["G"])
+        with torch.no_grad():
+            for p in gs["G"].parameters():
+                p.add_(2e-3 * torch.sin(
+                    torch.arange(p.numel(), dtype=torch.float32)
+                ).reshape(p.shape))
+
+        fl = lm.ForgerLoss(
+            device="cpu", G=gs["G"], D=gs["D"], geom_encoder=None,
+            stitcher=None, augment_pipe=None, style_mixing_prob=0,
+            r1_gamma=10, geom_phase_losses=GEOM_LOSSES,
+            main_phase_losses=MAIN_LOSSES,
+            geom_warmstart_losses=WARM_ORIG_LOSSES, stitch_phase_losses="")
+        assert fl.requires_frozen_generator()
+
+        cfg = TrainConfig(
+            gen_cfg=bundle.gen_cfg, disc_cfg=d_cfg, enc_cfg=bundle.enc_cfg,
+            batch_size=4, noise_mode="const", style_mixing_prob=0.0,
+            r1_gamma=10.0, main_phase_losses=MAIN_LOSSES,
+            geom_phase_losses=GEOM_LOSSES,
+            geom_warmstart_losses=WARM_ORIG_LOSSES,
+            augment=None, geom_phase_mode="last_and_rgb",
+            geom_warmstart_mode="last_and_rgb")
+        g_perturbed = jax.tree_util.tree_map(
+            jnp.asarray, _convert_g(gs["G"], cfg.gen_cfg))
+        state = init_train_state(cfg, jax.random.PRNGKey(0),
+                                 g_params=g_perturbed,
+                                 g_state=bundle.gen_state)
+        g_orig_params = jax.tree_util.tree_map(
+            jnp.asarray, _convert_g(G_orig, cfg.gen_cfg))
+
+        warm_step = steps.make_geom_step(cfg, warmstart=True)
+        g_before = _np_snapshot(state["g_params"])
+        state, stats = warm_step(
+            state, [jnp.asarray(_nhwc(batch["geom8"]))],
+            jnp.asarray(_nhwc(batch["geom"])), jnp.asarray(batch["z"]),
+            jax.random.PRNGKey(1), jnp.float32(0.5),
+            g_orig_params=g_orig_params)
+        assert "Loss/forger/Ggeom-warm/l1_fake_orig" in stats
+        assert float(stats["Loss/forger/Ggeom-warm/l1_fake_orig"]) > 0
+
+        # Reference: the Ggeom-warm phase step with G_orig wired exactly as
+        # training_loop_modified.py:479 passes it.
+        gs["geom_opt"].zero_grad(set_to_none=True)
+        gs["G"].requires_grad_(True)
+        gs["G"].set_trainable_layers("last_and_rgb")
+        fl.accumulate_gradients(
+            phase="Ggeom-warm",
+            real_style=torch.from_numpy(batch["real"]),
+            real_c=torch.zeros(4, 0),
+            real_geom=torch.from_numpy(batch["geom"]),
+            geom_feature=[torch.from_numpy(batch["geom8"])],
+            gen_z=torch.from_numpy(batch["z"]), gen_c=torch.zeros(4, 0),
+            sync=False, gain=200.0, G_orig=G_orig)
+        gs["G"].requires_grad_(False)
+        for p in gs["G"].parameters():
+            if p.grad is not None:
+                torch.nan_to_num(p.grad, nan=0.0, posinf=1e5, neginf=-1e5,
+                                 out=p.grad)
+        gs["geom_opt"].step()
+
+        _assert_update_parity(g_before, state["g_params"],
+                              _convert_g(gs["G"], cfg.gen_cfg),
+                              2e-4, "Ggeom-warm/fake_orig")
+        # The frozen G_orig itself must be untouched on both sides.
+        fo = _flat_tree(g_orig_params)
+        fo2 = _flat_tree(jax.tree_util.tree_map(
+            jnp.asarray, _convert_g(G_orig, cfg.gen_cfg)))
+        for k in fo:
+            np.testing.assert_array_equal(fo[k], fo2[k])
