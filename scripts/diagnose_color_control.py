@@ -78,7 +78,10 @@ def diagnose(path, out_dir, n_styles=8, seed=0):
     bg_mass = (uvs * bg[..., None]).sum((0, 1, 2)) / max(bg.sum(), 1)
     learned_colors = np.asarray(out["colors"])          # [B, 3(rgb), 3(uvs)]
 
-    tag = os.path.basename(path).replace(".pkl", "")
+    # Tag includes the run directory: snapshot basenames collide across runs
+    # (every finetune ends at network-snapshot-000200.pkl).
+    run = os.path.basename(os.path.dirname(os.path.dirname(path))) or "run"
+    tag = run + "_" + os.path.basename(path).replace(".pkl", "")
     report = {
         "snapshot": path,
         "fg_mass_uvs": [round(float(x), 4) for x in fg_mass],
