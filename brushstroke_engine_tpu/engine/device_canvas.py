@@ -188,8 +188,8 @@ class PoolState(NamedTuple):
     "blend_margin", "crop_margin", "quant_scales"), donate_argnums=(8,))
 def render_strokes_pool(gen_cfg, enc_cfg, enc_res, render_mode: str,
                         blend_res: int, blend_margin: int, crop_margin: int,
-                        bundle_params, pool: PoolState, slots, packed,
-                        z, ws, color_override, color_mask,
+                        bundle_params, pool: PoolState, slots, alpha_u8,
+                        pos, z, ws, color_override, color_mask,
                         quant_scales=None):
     """N concurrent sessions' strokes in ONE device program.
 
@@ -206,7 +206,13 @@ def render_strokes_pool(gen_cfg, enc_cfg, enc_res, render_mode: str,
       slots: [N] int32 pool rows; real requests use distinct slots, padding
         rows point at the scratch slot (last row) so their write-back is
         harmless.
-      packed: [N, pw*pw + 2] float32 — per-request geometry + (y, x).
+      alpha_u8: [N, pw*pw] uint8 — the raw stroke alpha masks exactly as
+        they arrive on the wire.  The float conversion/inversion
+        (prepare_geom_input semantics, reference brush.py:672-681) runs on
+        DEVICE: the serving host->device link is the latency/bandwidth
+        bottleneck (dev tunnel ~20 MB/s; measured 8-stroke f32 uploads cost
+        ~100 ms/flush), so the request crosses it at 1 byte/px, not 4.
+      pos: [N, 2] int32 — per-request (y, x) canvas coords.
       z / ws: [N, z_dim] or [N, num_ws, w_dim]; exactly one non-None.
       color_override / color_mask: [N, 3, 3] / [N, 1, 3] (zero mask = no-op).
 
@@ -219,19 +225,21 @@ def render_strokes_pool(gen_cfg, enc_cfg, enc_res, render_mode: str,
     with quant.static_ctx(quant_scales):
         return _render_strokes_pool_body(
             gen_cfg, enc_cfg, enc_res, render_mode, blend_res, blend_margin,
-            crop_margin, bundle_params, pool, slots, packed, z, ws,
+            crop_margin, bundle_params, pool, slots, alpha_u8, pos, z, ws,
             color_override, color_mask)
 
 
 def _render_strokes_pool_body(gen_cfg, enc_cfg, enc_res, render_mode,
                               blend_res, blend_margin, crop_margin,
-                              bundle_params, pool, slots, packed,
-                              z, ws, color_override, color_mask):
+                              bundle_params, pool, slots, alpha_u8,
+                              pos, z, ws, color_override, color_mask):
     gen_params, gen_state, enc_params, enc_state = bundle_params
-    n = packed.shape[0]
-    pw = int(round((packed.shape[1] - 2) ** 0.5))
-    geom = packed[:, :pw * pw].reshape(n, pw, pw, 1)
-    position = packed[:, pw * pw:].astype(jnp.int32)
+    n = alpha_u8.shape[0]
+    pw = int(round(alpha_u8.shape[1] ** 0.5))
+    # prepare_geom_input on device: 0 = FG stroke, 1 = BG.
+    geom = 1.0 - (alpha_u8.reshape(n, pw, pw, 1).astype(jnp.float32)
+                  / 255.0)
+    position = pos.astype(jnp.int32)
     down = pw // blend_res
     fy = position[:, 0] // down
     fx = position[:, 1] // down
@@ -366,9 +374,11 @@ class DeviceCanvasPool:
 
         Args:
           requests: list of dicts with keys ``slot`` (int), ``geom``
-            (flattened float32 [pw*pw]), ``x``, ``y`` (canvas ints, already
-            down-aligned by the caller or aligned here), and ``opts``
-            (GanBrushOptions; rows must share style kind — all-z or all-ws).
+            (flattened uint8 alpha mask [pw*pw], straight off the wire —
+            the float inversion runs on device), ``x``, ``y`` (canvas ints,
+            already down-aligned by the caller or aligned here), and
+            ``opts`` (GanBrushOptions; rows must share style kind — all-z
+            or all-ws).
 
         Returns ``(rgba_u8 device array [bucket, pw, pw, 4], metas list of
         n)``: materialize with ONE ``np.asarray(rgba)`` for the whole batch
@@ -381,7 +391,7 @@ class DeviceCanvasPool:
         bucket = next((b for b in self.BUCKETS if b >= n), n)
         use_ws = requests[0]["opts"].style_ws is not None
 
-        packed_rows, style_rows = [], []
+        alpha_rows, pos_rows, style_rows = [], [], []
         override = np.zeros((bucket, 3, 3), np.float32)
         cmask = np.zeros((bucket, 1, 3), np.float32)
         slots, metas = [], []
@@ -392,8 +402,8 @@ class DeviceCanvasPool:
                 "mixed z/ws rows in a pooled render batch"
             x = (int(req["x"]) // self.down) * self.down
             y = (int(req["y"]) // self.down) * self.down
-            packed_rows.append(np.concatenate(
-                [req["geom"], np.asarray([y, x], np.float32)]))
+            alpha_rows.append(np.asarray(req["geom"], np.uint8))
+            pos_rows.append((y, x))
             style_rows.append(o.style_ws[0] if use_ws else o.style_z[0])
             ov, mk = o.color_override(1)
             if ov is not None:
@@ -403,17 +413,19 @@ class DeviceCanvasPool:
             metas.append({"x": x + self.crop_margin,
                           "y": y + self.crop_margin})
         for _ in range(bucket - n):
-            packed_rows.append(packed_rows[-1])
+            alpha_rows.append(alpha_rows[-1])
+            pos_rows.append(pos_rows[-1])
             style_rows.append(style_rows[-1])
             slots.append(self.scratch_slot)
 
-        packed = jnp.asarray(np.stack(packed_rows).astype(np.float32))
+        alpha = jnp.asarray(np.stack(alpha_rows))
+        pos = jnp.asarray(np.asarray(pos_rows, np.int32))
         style = jnp.asarray(np.stack(style_rows).astype(np.float32))
         slots_arr = jnp.asarray(np.asarray(slots, np.int32))
         rgba, self.state = render_strokes_pool(
             eng.gen_cfg, eng.enc_cfg, tuple(eng.enc_res), eng.render_mode,
             self.blend_res, self.blend_margin, self.crop_margin,
-            self._params, self.state, slots_arr, packed,
+            self._params, self.state, slots_arr, alpha, pos,
             None if use_ws else style, style if use_ws else None,
             jnp.asarray(override), jnp.asarray(cmask),
             quant_scales=eng._quant_key())

@@ -160,7 +160,16 @@ class IconStore:
     def __init__(self, path: str, extension: str = ".jpg"):
         self.path = path
         self.extension = extension
-        self._zip = zipfile.ZipFile(path, mode="a")
+        try:
+            self._zip = zipfile.ZipFile(path, mode="a")
+        except zipfile.BadZipFile:
+            # A server killed mid-session leaves an append-mode zip without
+            # its central directory (only close() writes it); recover by
+            # starting a fresh cache rather than failing icon caching for
+            # every future run.
+            logger.warning("Icon cache %s corrupt; recreating", path)
+            os.remove(path)
+            self._zip = zipfile.ZipFile(path, mode="a")
 
     def get(self, style_id) -> Optional[np.ndarray]:
         name = str(style_id) + self.extension
@@ -178,6 +187,14 @@ class IconStore:
         buf = io.BytesIO()
         img.save(buf, format="JPEG")
         self._zip.writestr(str(style_id) + self.extension, buf.getvalue())
+        # Persist the central directory NOW: icons render rarely (once per
+        # style), and without this a killed process leaves the whole cache
+        # unreadable (zipfile writes the directory only on close()).
+        self._zip.close()
+        self._zip = zipfile.ZipFile(self.path, mode="a")
+
+    def close(self) -> None:
+        self._zip.close()
 
 
 # Back-compat alias for round-1 callers.

@@ -209,8 +209,10 @@ class DrawingWebSocketHandler(tornado.websocket.WebSocketHandler):
                     if t0 is not None and t1 is not None:
                         self._send_timing(_t_recv, t0, t1, "device_batched")
 
-                geom = np.asarray(self.helper.engine.prepare_geom_input(
-                    bg_img), np.float32).ravel()
+                # Raw wire alpha, uint8: the float inversion
+                # (prepare_geom_input) runs on device so the request
+                # crosses the host->device link at 1 byte/px, not 4.
+                geom = np.ascontiguousarray(bg_img[:, :, -1]).ravel()
                 self.dev_batcher.submit(
                     self, self.dev_pool, self.dev_slot, geom, opts,
                     int(meta["x"]), int(meta["y"]), respond)
@@ -599,7 +601,8 @@ class DeviceRenderBatcher:
     session's responses arrive in stroke order.
     """
 
-    def __init__(self, engine, window_ms: float, pool_capacity: int = 8):
+    def __init__(self, engine, window_ms: float, pool_capacity: int = 8,
+                 pipeline_depth: int = 2):
         import concurrent.futures
         import threading
         self.engine = engine
@@ -613,6 +616,26 @@ class DeviceRenderBatcher:
         # order across flush windows.
         self._worker = concurrent.futures.ThreadPoolExecutor(
             max_workers=1, thread_name_prefix="devbatch")
+        # Downloads run on their own FIFO worker so job k's response
+        # readback overlaps job k+1's upload + dispatch on the (full
+        # duplex) host<->device link; per-session response order is still
+        # total because each session has at most one stroke per job and
+        # both executors are single-worker FIFO.
+        self._fetcher = concurrent.futures.ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="devfetch")
+        # At most TWO jobs between dispatch and response delivery.  Without
+        # a gate the flush tick submits a job for whatever trickled in
+        # since the last tick, and under closed-loop painters the system
+        # desynchronizes into a round-robin of single-stroke jobs: measured
+        # 284/293 flushes at batch size 1, 8-session p50 ~480 ms (each
+        # stroke queues behind 7 others' serialized renders).  Gating
+        # flushes on job completion makes strokes ACCUMULATE during the
+        # in-flight render, so the next flush takes all sessions' strokes
+        # in one pooled dispatch and the loop self-synchronizes into full
+        # batches; allowing a depth of 2 keeps the link busy in both
+        # directions at once.
+        self.pipeline_depth = pipeline_depth
+        self._inflight_jobs = 0
         # Guards pool.state transitions that happen on the IOLoop thread
         # (slot acquire/release/reset) against the worker's render dispatch.
         self._state_lock = threading.Lock()
@@ -652,7 +675,7 @@ class DeviceRenderBatcher:
 
     def flush(self):
         import tornado.ioloop
-        if not self.items:
+        if not self.items or self._inflight_jobs >= self.pipeline_depth:
             return
         # At most one request per session this flush; the rest stay queued
         # (in order) so they see this one's feature write-back.
@@ -668,12 +691,22 @@ class DeviceRenderBatcher:
             key = (id(it["pool"]), it["opts"].style_ws is not None)
             groups.setdefault(key, []).append(it)
         loop = tornado.ioloop.IOLoop.current()
+        self._inflight_jobs += 1
         self._worker.submit(self._run_groups, list(groups.values()), loop)
 
+    def _job_done(self):
+        # IOLoop thread: re-arm and drain immediately — strokes that
+        # arrived during the render shouldn't also wait out a tick.
+        self._inflight_jobs -= 1
+        self.flush()
+
     def _run_groups(self, groups, loop):
+        # Dispatch every group's render, then hand the downloads to the
+        # fetcher worker: the device computes (and this worker can upload
+        # the NEXT job) while response bytes stream back.
+        dispatched = []
         for group in groups:
             pool = group[0]["pool"]
-            n = len(group)
             t0 = time.perf_counter()
             try:
                 with self._state_lock:
@@ -681,24 +714,38 @@ class DeviceRenderBatcher:
                         [{"slot": it["slot"], "geom": it["geom"],
                           "x": it["x"], "y": it["y"], "opts": it["opts"]}
                          for it in group])
-                # ONE download for the whole batch, outside the lock.
-                imgs = np.asarray(rgba)
             except Exception:
                 logger.exception(
                     "DeviceRenderBatcher: batched dispatch failed; "
-                    f"dropping {n} response(s)")
+                    f"dropping {len(group)} response(s)")
                 continue
-            t1 = time.perf_counter()
-            m = pool.crop_margin
-            for i, it in enumerate(group):
-                img = imgs[i]
-                if m > 0:
-                    img = img[m:-m, m:-m]
-                meta = dict(metas[i])
-                meta["_t_start"] = t0
-                meta["_t_end"] = t1
-                loop.add_callback(it["respond"],
-                                  np.ascontiguousarray(img), meta)
+            dispatched.append((pool, group, rgba, metas, t0))
+        self._fetcher.submit(self._fetch_job, dispatched, loop)
+
+    def _fetch_job(self, dispatched, loop):
+        try:
+            for pool, group, rgba, metas, t0 in dispatched:
+                try:
+                    # ONE download for the whole batch.
+                    imgs = np.asarray(rgba)
+                except Exception:
+                    logger.exception(
+                        "DeviceRenderBatcher: batched readback failed; "
+                        f"dropping {len(group)} response(s)")
+                    continue
+                t1 = time.perf_counter()
+                m = pool.crop_margin
+                for i, it in enumerate(group):
+                    img = imgs[i]
+                    if m > 0:
+                        img = img[m:-m, m:-m]
+                    meta = dict(metas[i])
+                    meta["_t_start"] = t0
+                    meta["_t_end"] = t1
+                    loop.add_callback(it["respond"],
+                                      np.ascontiguousarray(img), meta)
+        finally:
+            loop.add_callback(self._job_done)
 
     def warmup(self, rows, cols, level, buckets=(1, 2, 4, 8),
                crop_margin=0):
@@ -709,7 +756,7 @@ class DeviceRenderBatcher:
         pool = self.pool_for((rows, cols), level, crop_margin)
         eng = self.engine
         patch = PaintingHelper.test_stroke(eng.patch_width)
-        geom = np.asarray(eng.prepare_geom_input(patch), np.float32).ravel()
+        geom = np.ascontiguousarray(patch[:, :, -1]).ravel()
         for bucket in buckets:
             reqs = []
             for i in range(bucket):

@@ -117,9 +117,10 @@ class TestDeviceCanvasPool:
 
     @staticmethod
     def _req(eng, slot, patch, opts, x, y):
+        # Raw wire alpha (uint8): the pooled kernel runs the
+        # prepare_geom_input inversion on device.
         return {"slot": slot, "x": x, "y": y, "opts": opts,
-                "geom": np.asarray(eng.prepare_geom_input(patch),
-                                   np.float32).ravel()}
+                "geom": np.ascontiguousarray(patch[:, :, -1]).ravel()}
 
     def test_pooled_matches_serial_sessions(self):
         """Two sessions' interleaved strokes through the pool must match two

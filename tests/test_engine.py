@@ -351,6 +351,32 @@ class TestLibraries:
         assert isinstance(lib, SeedBrushLibrary)
         assert lib.get_style_ids() == ["5", "6", "7"]
 
+    def test_icon_store_survives_kill(self, tmp_path):
+        """Every put() must leave a VALID zip on disk: a server killed
+        mid-session never calls close(), and zipfile only writes the
+        central directory there — without per-put persistence the whole
+        icon cache is corrupt for every later run (observed in the r5
+        brush-workflow evidence)."""
+        from brushstroke_engine_tpu.engine.library import IconStore
+        p = str(tmp_path / "icons.zip")
+        store = IconStore(p)
+        icon = np.full((8, 8, 3), 200, np.uint8)
+        store.put("s1", icon)
+        # Do NOT close: simulate a killed process by reopening from disk.
+        fresh = IconStore(p)
+        got = fresh.get("s1")
+        assert got is not None and got.shape == (8, 8, 3)
+        assert fresh.get("missing") is None
+
+    def test_icon_store_recovers_corrupt_cache(self, tmp_path):
+        from brushstroke_engine_tpu.engine.library import IconStore
+        p = str(tmp_path / "icons.zip")
+        with open(p, "wb") as f:
+            f.write(b"PK\x03\x04 truncated-not-a-zip")
+        store = IconStore(p)  # must recreate, not raise
+        store.put("a", np.zeros((4, 4, 3), np.uint8))
+        assert IconStore(p).get("a") is not None
+
 
 class TestStylize:
     def test_crop_grid_covers(self):
